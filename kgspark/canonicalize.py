@@ -1,0 +1,95 @@
+"""Stage 7b — entity canonicalization: redirect closure + sameAs enrichment.
+
+The reference resolves DBpedia URIs to Wikidata via chunked live SPARQL
+``owl:sameAs`` queries, 100 URIs per request with 1 s sleeps
+(``R/wikidata.R:44-47,72-108``) and a keyed join back
+(``R/wikidata.R:334-337``). At 10^12 documents that is not a runtime
+operation: we materialize redirects/sameAs as static broadcast-sized
+dimension tables, close the redirect relation to a fixpoint *offline* (once,
+on the dim table — not per query), and canonicalize with two broadcast left
+joins in-plan (SURVEY §2.5 J9/J10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def close_redirects(redirects: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Transitive closure (src -> final dst) by path doubling.
+
+    log2(longest chain) join rounds on the dimension table; each round
+    rewrites dst by one more level. Runs offline when the dim is refreshed.
+    """
+    closed = redirects.select("src_uri", "dst_uri")
+    for _ in range(max_iter):
+        nxt = closed.alias("a").join(
+            closed.alias("b"), F.col("a.dst_uri") == F.col("b.src_uri"), "left"
+        )
+        advanced = nxt.filter(F.col("b.dst_uri").isNotNull())
+        if advanced.limit(1).count() == 0:
+            break
+        closed = nxt.select(
+            F.col("a.src_uri").alias("src_uri"),
+            F.coalesce(F.col("b.dst_uri"), F.col("a.dst_uri")).alias("dst_uri"),
+        )
+    return closed
+
+
+def canonicalize(
+    mentions: DataFrame,
+    redirects_closed: DataFrame,
+    sameas: DataFrame,
+    uri_col: str = "dbpedia_uri",
+) -> DataFrame:
+    """Rewrite URIs through redirects, then attach Wikidata identity.
+
+    Both dims are broadcast; the mention side never shuffles. The sameAs
+    join is the reference's ``add_wikidata_uris`` (R/wikidata.R:307-340);
+    ``wikidata_id`` extraction mirrors the ``Q\\d+$`` regex
+    (R/wikidata.R:118-120,171-174).
+    """
+    rc = F.broadcast(redirects_closed.select(
+        F.col("src_uri"), F.col("dst_uri").alias("_redirect_dst")
+    ))
+    sa = F.broadcast(sameas.select(
+        F.col("dbpedia_uri").alias("_sa_uri"),
+        "wikidata_uri",
+        "wikidata_id",
+    ))
+    out = (
+        mentions.join(rc, mentions[uri_col] == rc["src_uri"], "left")
+        .withColumn("canonical_uri", F.coalesce(F.col("_redirect_dst"), F.col(uri_col)))
+        .drop("src_uri", "_redirect_dst")
+        .join(sa, F.col("canonical_uri") == F.col("_sa_uri"), "left")
+        .drop("_sa_uri")
+    )
+    # defensive re-derivation of the bare Q-id (R/wikidata.R:120)
+    return out.withColumn(
+        "wikidata_id",
+        F.when(
+            F.col("wikidata_uri").isNotNull(),
+            F.regexp_extract(F.col("wikidata_uri"), r"(Q\d+)$", 1),
+        ).otherwise(F.col("wikidata_id")),
+    )
+
+
+def wikidata_properties(
+    canonical_mentions: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """J10: property enrichment — group-collapse keyLabels with '|' then a
+    keyed left join back (R/wikidata.R:239-269), as a broadcast join."""
+    collapsed = labels.groupBy("wikidata_id").agg(
+        F.array_join(
+            F.array_distinct(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("prop_id"), F.col("prop_label")))
+                    ),
+                    lambda r: r["prop_label"],
+                )
+            ),
+            "|",
+        ).alias("prop_labels")
+    )
+    return canonical_mentions.join(F.broadcast(collapsed), "wikidata_id", "left")

@@ -1,0 +1,150 @@
+"""Stage 4 — candidate generation + disambiguation (D2-D6).
+
+Native implementation of Spotlight's scoring model as exercised through the
+reference's parameters (``R/dbpedia.R:366-372,471-485``; algorithm public in
+Mendes et al. 2011 §4.3 "disambiguation": a mixture of the candidate prior
+``P(uri | surface_form)`` and context similarity between the mention's
+surrounding tokens and the entity's context profile).
+
+Deterministic, fully relational formulation (no UDFs — everything stays in
+whole-stage codegen):
+
+- candidates:   mentions ⋈ broadcast lexicon on surface form (D2);
+- support:      ``support >= min_support`` (D3, default 20);
+- context:      ``overlap = |tokens(doc) ∩ ctx_tokens(uri)|`` via
+                ``size(array_intersect(...))``;
+- score:        ``(1 + overlap) * prior``;
+- confidence:   per-mention normalized score ``score / sum(score)`` — the
+                emitted link must clear ``confidence`` (D5, default 0.35);
+- top-1:        ``row_number()`` over ``(doc_id, start, text)`` ordered by
+                ``(score desc, uri)`` — deterministic tiebreak (SURVEY §4);
+- types:        optional restriction ``arrays_overlap(dbpedia_types, wanted)``
+                (D6, server-side `types` param in the reference).
+
+Scale notes: the lexicon join is an explicit ``broadcast()``; the doc-token
+join is an equi-join on ``doc_id`` (AQE/skew-join handles head documents);
+the window partitions by ``(doc_id, start, text)`` which is already the
+join key's superset, so no extra shuffle beyond the doc join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def doc_tokens(docs: DataFrame, doc_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Slim (doc_id, doc_tokens) projection for context scoring.
+
+    Distinct tokens per doc (array_intersect dedups anyway); splitting on
+    whitespace keeps parity with the DuckDB oracle.
+    """
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.array_distinct(F.split(F.col(text_col), r"\s+")).alias("doc_tokens"),
+    )
+
+
+def generate_candidates(
+    mentions: DataFrame,
+    lexicon: DataFrame,
+    min_support: int = 20,
+) -> DataFrame:
+    """D2 + D3: equi-join mentions × broadcast lexicon, prominence filter."""
+    lex = F.broadcast(
+        lexicon.select(
+            F.col("surface_form"),
+            F.col("uri"),
+            F.col("prior"),
+            F.col("support"),
+            F.col("dbpedia_types"),
+            F.col("wikidata_types"),
+            F.split(F.col("ctx_tokens"), " ").alias("ctx_arr"),
+        )
+    )
+    return (
+        mentions.join(lex, mentions["text"] == lex["surface_form"], "inner")
+        .filter(F.col("support") >= F.lit(min_support))
+        .drop("surface_form")
+    )
+
+
+def disambiguate(
+    candidates: DataFrame,
+    doc_tokens_df: DataFrame,
+    confidence: float = 0.35,
+    types: list[str] | None = None,
+) -> DataFrame:
+    """D4 + D5 + D6: context scoring, confidence filter, top-1 per mention.
+
+    Returns the annotation-table IR (R/dbpedia.R:447-453) with nested
+    ``types`` map plus the per-KB pivots DBpedia_type / Wikidata_type
+    (P4/P5, R/dbpedia.R:560-600).
+    """
+    scored = (
+        candidates.join(doc_tokens_df, "doc_id")
+        .withColumn(
+            "ctx_overlap",
+            F.size(F.array_intersect(F.col("doc_tokens"), F.col("ctx_arr"))),
+        )
+        .withColumn(
+            "score", (F.lit(1.0) + F.col("ctx_overlap")) * F.col("prior")
+        )
+        .drop("doc_tokens")
+    )
+    mention_w = Window.partitionBy("doc_id", "start", "text")
+    ranked = (
+        scored.withColumn("score_sum", F.sum("score").over(mention_w))
+        .withColumn("conf", F.col("score") / F.col("score_sum"))
+        .withColumn(
+            "rank",
+            F.row_number().over(mention_w.orderBy(F.desc("score"), F.asc("uri"))),
+        )
+    )
+    out = ranked.filter((F.col("rank") == 1) & (F.col("conf") >= F.lit(confidence)))
+    if types:
+        # D6: keep only entities carrying one of the wanted DBpedia types
+        # (R/dbpedia.R:479-482).
+        out = out.filter(
+            F.arrays_overlap(
+                F.coalesce(F.col("dbpedia_types"), F.array()),
+                F.array(*[F.lit(t) for t in types]),
+            )
+        )
+    return out.select(
+        "doc_id",
+        "start",
+        "text",
+        F.col("uri").alias("dbpedia_uri"),
+        F.create_map(
+            F.lit("DBpedia"), F.col("dbpedia_types"),
+            F.lit("Wikidata"), F.col("wikidata_types"),
+        ).alias("types"),
+        _pivot_types("dbpedia_types").alias("DBpedia_type"),
+        _pivot_types("wikidata_types").alias("Wikidata_type"),
+    )
+
+
+def _pivot_types(col: str):
+    """P5 per-KB pipe pivot: ["Place","Location"] -> "|Place|Location|";
+    absent/empty -> NULL (R/dbpedia.R:586-597)."""
+    c = F.col(col)
+    return F.when(
+        c.isNotNull() & (F.size(c) > 0),
+        F.concat(F.lit("|"), F.array_join(c, "|"), F.lit("|")),
+    )
+
+
+def link_mentions(
+    spots: DataFrame,
+    lexicon: DataFrame,
+    docs: DataFrame,
+    doc_col: str = "url",
+    text_col: str = "text",
+    min_support: int = 20,
+    confidence: float = 0.35,
+    types: list[str] | None = None,
+) -> DataFrame:
+    """spot output -> linked annotation table (the composed D2-D6 path)."""
+    cands = generate_candidates(spots, lexicon, min_support=min_support)
+    toks = doc_tokens(docs, doc_col=doc_col, text_col=text_col)
+    return disambiguate(cands, toks, confidence=confidence, types=types)

@@ -1,0 +1,348 @@
+"""Stage 6 — overlap detection / categorization / resolution.
+
+Native reimplementation of the reference's experimental overlap toolkit
+(``/root/reference/R/overlaps.R``) as window + aggregation plans. The
+reference materializes an interval self-join (``foverlaps`` type="any",
+R/overlaps.R:111) and then runs an iterative fixpoint to merge chained
+pairs (R/overlaps.R:127-165). For 1-D intervals the connected components
+are exactly the groups produced by a single running-max sweep — sort by
+(start, end), start a new group whenever ``start > max(end of all previous
+rows)`` — so the whole thing is one window pass per document: no interval
+join, no iteration, no driver loop (SURVEY §2.5 J7).
+
+Conventions preserved from the reference:
+- ``end = start + nchar(text)`` (NO -1) when no end column is given
+  (R/overlaps.R:62 — deliberately different from the alignment path's
+  ``start + nchar - 1``, R/dbpedia.R:856).
+- intervals are inclusive; touching intervals overlap (foverlaps "any").
+- only groups with >= 2 members get an ``ovl_id``; the id carries the doc
+  group and a per-doc counter (``ovl_{doc}_{k}``, R/overlaps.R:174-178).
+- categorization label per row follows the reference's *last-assignment-wins*
+  chain undetermined -> inner -> outer -> shortest -> longest
+  (R/overlaps.R:402-479), group-wide labels for the all-same-span
+  ("ovl_multiple") and no-containment ("ovl_partial[|ovl_distinct]") cases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+OVL_FLAGS = (
+    "ovl_longest",
+    "ovl_shortest",
+    "ovl_inner",
+    "ovl_outer",
+    "ovl_partial",
+    "ovl_multiple",
+    "ovl_distinct",
+    "ovl_undetermined",
+)
+
+
+def detect_overlap(
+    df: DataFrame,
+    doc_col: str | None = "doc_id",
+    start_col: str = "start",
+    end_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adds ``end`` (if needed) and ``ovl_id`` (R/overlaps.R:38-200).
+
+    One window pass, partitioned by document — the reference's per-doc
+    ``by = "doc"`` scoping (R/overlaps.R:66-73). NULL ovl_id for rows that
+    overlap nothing.
+    """
+    if end_col is None:
+        if "end" in df.columns:
+            raise ValueError(
+                "end_col is NULL but a column named 'end' already exists "
+                "(mirrors R/overlaps.R:50-56)"
+            )
+        df = df.withColumn("end", F.col(start_col) + F.length(F.col(text_col)))
+        end_col = "end"
+
+    part = [doc_col] if doc_col else []
+    order = [F.col(start_col), F.col(end_col), F.col(text_col)]
+    w = Window.partitionBy(*part).orderBy(*order)
+    max_prev_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = F.when(
+        max_prev_end.isNull() | (F.col(start_col) > max_prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+
+    out = df.withColumn("_is_new", is_new)
+    # a row's group is "multi" iff the row is a non-first member, or the next
+    # row (same sort) is a non-first member — avoids a second shuffle.
+    nxt = F.lead("_is_new").over(w)
+    out = out.withColumn(
+        "_multi", (F.col("_is_new") == 0) | (nxt.isNotNull() & (nxt == 0))
+    )
+    k = F.sum(F.col("_is_new") * F.col("_multi").cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if doc_col:
+        ovl_id = F.format_string("ovl_%s_%d", F.col(doc_col).cast("string"), k)
+    else:
+        ovl_id = F.format_string("ovl_%d", k)
+    return (
+        out.withColumn("ovl_id", F.when(F.col("_multi"), ovl_id))
+        .drop("_is_new", "_multi")
+    )
+
+
+def categorize_overlap(
+    df: DataFrame,
+    doc_col: str | None = "doc_id",
+    start_col: str = "start",
+    end_col: str = "end",
+    uri_col: str = "dbpedia_uri",
+    text_col: str = "text",
+    experimental: bool = False,
+    keep_type_col: bool = False,
+) -> DataFrame:
+    """Adds the eight boolean ``ovl_*`` columns (R/overlaps.R:296-398).
+
+    Containment is detected with two windows instead of the reference's
+    ``foverlaps(type="within")`` (R/overlaps.R:421-424): within a group
+    sorted by (start, end), row i is *inner* iff some earlier row's end
+    covers it, and *outer* iff some later row's end fits inside it — exactly
+    the reference's xid>yid / xid<yid index tests.
+    """
+    part = [doc_col] if doc_col else []
+    grp = Window.partitionBy(*part, "ovl_id")
+    grp_sorted = grp.orderBy(F.col(start_col), F.col(end_col), F.col(text_col))
+
+    s, e = F.col(start_col), F.col(end_col)
+    length = e - s
+    x = (
+        df.withColumn("_n_uri", F.size(F.collect_set(uri_col).over(grp)))
+        .withColumn("_n_span", F.size(F.collect_set(F.struct(s, e)).over(grp)))
+        .withColumn(
+            "_inner",
+            F.coalesce(
+                F.max(e).over(grp_sorted.rowsBetween(Window.unboundedPreceding, -1)) >= e,
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "_outer",
+            F.coalesce(
+                F.min(e).over(grp_sorted.rowsBetween(1, Window.unboundedFollowing)) <= e,
+                F.lit(False),
+            ),
+        )
+        .withColumn("_min_len", F.min(length).over(grp))
+        .withColumn("_max_len", F.max(length).over(grp))
+        .withColumn(
+            "_n_min", F.sum((length == F.col("_min_len")).cast("int")).over(grp)
+        )
+        .withColumn(
+            "_n_max", F.sum((length == F.col("_max_len")).cast("int")).over(grp)
+        )
+        .withColumn("_has_containment", F.max(F.col("_inner").cast("int")).over(grp) == 1)
+    )
+
+    # last-assignment-wins chain (R/overlaps.R:444-477): longest > shortest >
+    # outer > inner > undetermined.
+    per_row = (
+        F.when((length == F.col("_max_len")) & (F.col("_n_max") == 1), "ovl_longest")
+        .when((length == F.col("_min_len")) & (F.col("_n_min") == 1), "ovl_shortest")
+        .when(F.col("_outer"), "ovl_outer")
+        .when(F.col("_inner"), "ovl_inner")
+        .otherwise("ovl_undetermined")
+    )
+    ovl_type = (
+        F.when(F.col("ovl_id").isNull(), F.lit(None).cast("string"))
+        .when((F.col("_n_span") == 1) & (F.col("_n_uri") > 1), "ovl_multiple")
+        .when(
+            ~F.col("_has_containment") & (F.col("_n_uri") == 1), "ovl_partial"
+        )
+        .when(
+            ~F.col("_has_containment") & (F.col("_n_uri") > 1),
+            "ovl_partial|ovl_distinct",
+        )
+        .otherwise(per_row)
+    )
+    x = x.withColumn("ovl_type", ovl_type)
+
+    if experimental:
+        x = _synthesize_inner_outer(
+            x, part, start_col=start_col, end_col=end_col, uri_col=uri_col,
+            text_col=text_col,
+        )
+
+    for flag in OVL_FLAGS:
+        x = x.withColumn(
+            flag,
+            F.when(F.col("ovl_id").isNotNull(), F.col("ovl_type").contains(flag)),
+        )
+    helper = ["_n_uri", "_n_span", "_inner", "_outer", "_min_len", "_max_len",
+              "_n_min", "_n_max", "_has_containment"]
+    x = x.drop(*[c for c in helper if c in x.columns])
+    if not keep_type_col:
+        x = x.drop("ovl_type")
+    return x.orderBy(*part, start_col)
+
+
+def _synthesize_inner_outer(
+    x: DataFrame,
+    part: list[str],
+    start_col: str,
+    end_col: str,
+    uri_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Experimental inner/outer rows for partial groups (R/overlaps.R:331-379).
+
+    Text synthesis is the reference's 2-entity character arithmetic
+    (R/overlaps.R:490-527); groups with more members get NULL text (the
+    reference warns and returns NA, R/overlaps.R:491-496).
+    """
+    s, e = F.col(start_col), F.col(end_col)
+    partial = x.filter(F.col("ovl_type").isin("ovl_partial", "ovl_partial|ovl_distinct"))
+    base = partial.groupBy(*part, "ovl_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(s).alias("_min_s"),
+        F.max(s).alias("_max_s"),
+        F.min(e).alias("_min_e"),
+        F.max(e).alias("_max_e"),
+        F.array_join(
+            F.array_distinct(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(s.alias("s"), e.alias("e"), F.col(uri_col).alias("u")))),
+                    lambda r: r["u"],
+                )
+            ),
+            "|",
+        ).alias("_uris"),
+        F.size(F.collect_set(uri_col)).alias("_n_uri"),
+        F.min_by(F.col(text_col), s).alias("_t1"),
+        F.max_by(F.col(text_col), s).alias("_t2"),
+        F.min_by(e, s).alias("_e1"),
+        F.first(F.col("types")).alias("_types"),
+    )
+    # outer: [min_s, max_e]; text = setdiff-prefix of t1 (R/overlaps.R:513-519:
+    # left = setdiff(range1, range2) => min(e1 - s1 + 1, s2 - s1) chars) || t2
+    outer_text = F.when(
+        F.col("_n") == 2,
+        F.concat(
+            F.expr(
+                "substr(_t1, 1, cast(least(_e1 - _min_s + 1, _max_s - _min_s) as int))"
+            ),
+            F.col("_t2"),
+        ),
+    )
+    # inner: [max_s, min_e]; text = trim(first (min_e - max_s + 1) chars of t2)
+    inner_text = F.when(
+        F.col("_n") == 2,
+        F.trim(F.expr("substr(_t2, 1, cast(_min_e - _max_s + 1 as int))")),
+    )
+    shared = [F.col(c) for c in part] + [F.col("ovl_id")]
+    types_kept = F.when(F.col("_n_uri") == 1, F.col("_types"))
+    outer_rows = base.select(
+        *shared,
+        F.col("_min_s").alias(start_col),
+        F.col("_max_e").alias(end_col),
+        F.col("_uris").alias(uri_col),
+        outer_text.alias(text_col),
+        types_kept.alias("types"),
+        F.when(F.col("_n_uri") == 1, F.lit("ovl_partial|ovl_outer"))
+        .otherwise("ovl_partial|ovl_multiple|ovl_outer")
+        .alias("ovl_type"),
+    )
+    inner_rows = base.select(
+        *shared,
+        F.col("_max_s").alias(start_col),
+        F.col("_min_e").alias(end_col),
+        F.col("_uris").alias(uri_col),
+        inner_text.alias(text_col),
+        types_kept.alias("types"),
+        F.when(F.col("_n_uri") == 1, F.lit("ovl_partial|ovl_inner"))
+        .otherwise("ovl_partial|ovl_multiple|ovl_inner")
+        .alias("ovl_type"),
+    )
+    if "types" not in x.columns:
+        outer_rows = outer_rows.drop("types")
+        inner_rows = inner_rows.drop("types")
+    return x.unionByName(outer_rows, allowMissingColumns=True).unionByName(
+        inner_rows, allowMissingColumns=True
+    )
+
+
+def resolve_overlap(
+    df: DataFrame,
+    keep: list[str],
+    omit: list[str] | None = None,
+    tiebreak: str = "first",
+    doc_col: str | None = "doc_id",
+    start_col: str = "start",
+    end_col: str = "end",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep exactly one row per overlap group (R/overlaps.R:558-638).
+
+    ``keep`` / ``omit`` name flag columns without the ``ovl_`` prefix;
+    earlier ``keep`` entries win (priority = index). ``tiebreak``:
+    ``first`` (row order — deterministic (start, end, text) sort),
+    ``hash`` (deterministic salted replacement for the reference's
+    ``sample()``, R/overlaps.R:606-608, so reruns are byte-stable), or
+    ``remove`` (drop unresolved groups).
+
+    Deviation, documented: when a group contains both a kept row and an
+    omitted row, the reference's final filter compares against
+    ``min(ovl_keep)`` *including* the omit marker -1 (R/overlaps.R:622) and
+    silently drops the whole group; we keep the best ``keep`` row, which is
+    the documented intent of the API.
+    """
+    part = [doc_col] if doc_col else []
+    keep_prio = F.lit(None).cast("int")
+    for i in reversed(range(len(keep))):
+        keep_prio = F.when(F.col(f"ovl_{keep[i]}"), F.lit(i + 1)).otherwise(keep_prio)
+    omitted = F.lit(False)
+    for o in omit or []:
+        omitted = omitted | F.coalesce(F.col(f"ovl_{o}"), F.lit(False))
+
+    x = df.withColumn(
+        "_keep", F.when(omitted, F.lit(-1)).otherwise(keep_prio)
+    )
+    grp = Window.partitionBy(*part, "ovl_id")
+    pos = F.when(F.col("_keep") > 0, F.col("_keep"))
+    x = (
+        x.withColumn("_pos_min", F.min(pos).over(grp))
+        .withColumn(
+            "_n_at_min",
+            F.sum((pos == F.col("_pos_min")).cast("int")).over(grp),
+        )
+    )
+    # candidate set per the reference's tiebreak_fun (R/overlaps.R:590-619)
+    candidate = F.when(
+        F.col("_pos_min").isNull(), F.col("_keep").isNull()
+    ).otherwise(
+        F.when(F.col("_n_at_min") > 1, pos == F.col("_pos_min")).otherwise(
+            pos == F.col("_pos_min")
+        )
+    )
+    x = x.withColumn("_cand", F.coalesce(candidate, F.lit(False)))
+
+    needs_tiebreak = F.col("_pos_min").isNull() | (F.col("_n_at_min") > 1)
+    if tiebreak == "first":
+        order = [F.col(start_col), F.col(end_col), F.col(text_col)]
+    elif tiebreak == "hash":
+        order = [F.xxhash64(F.col(start_col), F.col(end_col), F.col(text_col), F.col("ovl_id"))]
+    elif tiebreak == "remove":
+        order = None
+    else:
+        raise ValueError(f"unknown tiebreak {tiebreak!r}")
+
+    if order is not None:
+        wsel = Window.partitionBy(*part, "ovl_id").orderBy(
+            F.col("_cand").cast("int").desc(), *order
+        )
+        x = x.withColumn("_rn", F.row_number().over(wsel))
+        winner = F.when(
+            needs_tiebreak, F.col("_cand") & (F.col("_rn") == 1)
+        ).otherwise(F.col("_cand"))
+    else:
+        winner = F.when(needs_tiebreak, F.lit(False)).otherwise(F.col("_cand"))
+
+    out = x.filter(F.col("ovl_id").isNull() | winner)
+    return out.drop("_keep", "_pos_min", "_n_at_min", "_cand", "_rn")

@@ -1,0 +1,133 @@
+"""End-to-end KG-construction pipeline (SURVEY.md §7 stage order).
+
+documents(url, warc_ts, html, text, lang)
+  -> extract (html -> text, byte-identical invariant)
+  -> segment (overlap windows + precomputed stitch bounds; skew breaking)
+  -> spot (broadcast Aho-Corasick, pandas UDF)
+  -> stitch (pure filter)
+  -> link (candidates x broadcast lexicon; prior + context scoring; top-1)
+  -> overlaps (detect/categorize/resolve — doc-local windows)
+  -> entity types (T2 expression)
+  -> canonicalize (broadcast redirect/sameAs dims)
+  -> triples (distinct + partitioned write)
+
+Shuffle census of the whole plan: one shuffle for the doc-token context
+join, one doc-partitioned window family for overlaps, one distinct for the
+triple set, plus the final write repartition. Everything else is narrow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kgspark import canonicalize as canon
+from kgspark import disambig, entity_types, overlaps, segment, spot, triples
+from kgspark.automaton import build_automaton
+from kgspark.extract import extract_text
+from kgspark.lineage import StageRunner
+
+
+@dataclass
+class PipelineConfig:
+    max_len: int = 7990            # R/dbpedia.R:363 (escaped-length threshold)
+    overlap: int = 500             # R/dbpedia.R:364
+    confidence: float = 0.35       # R/dbpedia.R:366
+    min_support: int = 20          # R/dbpedia.R:372
+    types: list[str] | None = None # D6 restriction
+    keep: list[str] = field(default_factory=lambda: ["longest", "shortest", "multiple"])
+    omit: list[str] | None = None
+    tiebreak: str = "first"
+    mapping: list[tuple[str, str]] = field(
+        default_factory=lambda: [
+            ("PERSON", "DBpedia:Person"),
+            ("ORGANIZATION", "DBpedia:Organisation"),
+            ("LOCATION", "DBpedia:Place"),
+        ]
+    )
+    checkpoint_root: str | None = None
+    use_html: bool = True          # extract text from html (else trust text col)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    lexicon: DataFrame,
+    redirects: DataFrame,
+    sameas: DataFrame,
+    cfg: PipelineConfig | None = None,
+    doc_col: str = "url",
+) -> dict[str, DataFrame]:
+    cfg = cfg or PipelineConfig()
+    runner = StageRunner(spark, cfg.checkpoint_root)
+
+    surface_forms = [r["surface_form"] for r in lexicon.select("surface_form").distinct().collect()]
+    automaton_bc = spark.sparkContext.broadcast(build_automaton(surface_forms))
+
+    docs = runner.run(
+        "extract",
+        lambda: extract_text(documents) if cfg.use_html else documents,
+    )
+
+    segs = runner.run(
+        "segment",
+        lambda: segment.segment_documents(docs, max_len=cfg.max_len, overlap=cfg.overlap),
+    )
+
+    spots = runner.run(
+        "spot",
+        lambda: segment.stitch_filter(
+            spot.spot_segments(segs, automaton_bc, doc_col=doc_col)
+        ),
+    )
+
+    linked = runner.run(
+        "link",
+        lambda: disambig.link_mentions(
+            spots,
+            lexicon,
+            docs,
+            doc_col=doc_col,
+            min_support=cfg.min_support,
+            confidence=cfg.confidence,
+            types=cfg.types,
+        ),
+    )
+
+    def _resolve():
+        detected = overlaps.detect_overlap(linked, doc_col="doc_id")
+        categorized = overlaps.categorize_overlap(detected, doc_col="doc_id")
+        return overlaps.resolve_overlap(
+            categorized,
+            keep=cfg.keep,
+            omit=cfg.omit,
+            tiebreak=cfg.tiebreak,
+            doc_col="doc_id",
+        ).drop(*[c for c in overlaps.OVL_FLAGS])
+
+    resolved = runner.run("overlaps", _resolve)
+
+    typed = runner.run(
+        "entity_types",
+        lambda: entity_types.entity_types_map(resolved, cfg.mapping),
+    )
+
+    redirects_closed = canon.close_redirects(redirects)
+    canonical = runner.run(
+        "canonicalize",
+        lambda: canon.canonicalize(typed, redirects_closed, sameas),
+    )
+
+    triple_df = runner.run("triples", lambda: triples.mentions_to_triples(canonical))
+
+    return {
+        "documents": docs,
+        "segments": segs,
+        "spots": spots,
+        "mentions": linked,
+        "resolved": resolved,
+        "canonical": canonical,
+        "triples": triple_df,
+        "metrics": runner.metrics,
+    }

@@ -1,0 +1,79 @@
+"""Stage 3 — surface-form spotting (D1).
+
+Native replacement for Spotlight's lexicon spotter (the mention-detection
+half of the black box the reference calls over HTTP,
+``R/dbpedia.R:471-485``; algorithm per Mendes et al. 2011 §4.1): a broadcast
+Aho-Corasick automaton over the lexicon's surface forms, applied in an
+Arrow-batched pandas UDF. Emits *all* word-bounded occurrences (nested and
+overlapping included) — overlap resolution is downstream and relational.
+
+Offsets: the reference emits 1-based character starts (Spotlight's 0-based
+``@offset`` plus the segment offset, default 1 — ``R/dbpedia.R:365,557``).
+We produce ``start = seg_off + off0`` where ``off0`` is 0-based within the
+segment and ``seg_off`` is the segment's 1-based position, which yields
+1-based original-document offsets.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from kgspark.automaton import AhoCorasick, find_word_bounded
+from kgspark.schemas import MENTIONS_ARRAY
+
+
+def make_spot_udf(automaton_bc):
+    """Build the spotting pandas UDF around a Broadcast[AhoCorasick]."""
+
+    @pandas_udf(MENTIONS_ARRAY)
+    def _spot(texts: pd.Series) -> pd.Series:
+        ac: AhoCorasick = automaton_bc.value
+
+        def one(t):
+            if t is None:
+                return []
+            return [{"off0": s, "sf": p} for s, p in find_word_bounded(ac, t)]
+
+        return texts.map(one)
+
+    return _spot
+
+
+def spot_segments(
+    segments: DataFrame,
+    automaton_bc,
+    doc_col: str = "url",
+    seg_text_col: str = "seg_text",
+    seg_off_col: str = "seg_off",
+    keep_extra: tuple[str, ...] = ("keep_from", "keep_to"),
+) -> DataFrame:
+    """(doc, segment) rows -> (doc, start, text) mention rows.
+
+    One narrow pipeline: UDF -> explode; no shuffle. ``start`` is 1-based in
+    the original document (offset rebase, P2 — ``R/dbpedia.R:557``).
+    """
+    spot = make_spot_udf(automaton_bc)
+    exploded = segments.withColumn("_m", F.explode(spot(F.col(seg_text_col))))
+    cols = [
+        F.col(doc_col).alias("doc_id"),
+        (F.col("_m.off0") + F.col(seg_off_col)).cast("long").alias("start"),
+        F.col("_m.sf").alias("text"),
+    ] + [F.col(c) for c in keep_extra if c in segments.columns]
+    return exploded.select(*cols)
+
+
+def spot_documents(
+    docs: DataFrame, automaton_bc, doc_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Spot whole (un-segmented) documents; start is 1-based."""
+    spot = make_spot_udf(automaton_bc)
+    return (
+        docs.withColumn("_m", F.explode(spot(F.col(text_col))))
+        .select(
+            F.col(doc_col).alias("doc_id"),
+            (F.col("_m.off0") + F.lit(1)).cast("long").alias("start"),
+            F.col("_m.sf").alias("text"),
+        )
+    )
