@@ -13,8 +13,8 @@ DuckDB oracle):
 2. drop HTML comments;
 3. drop non-content elements with their subtrees: head, script, style,
    noscript, nav, header, footer, aside, form, iframe, svg, template;
-4. turn block-level closers (p/div/li/ul/ol/h1-h6/tr/table/article/section/
-   blockquote/pre) and <br> into newlines;
+4. turn block-level tags, opening and closing (p/div/li/ul/ol/h1-h6/tr/
+   table/article/section/blockquote/pre), and <br> into newlines;
 5. strip remaining tags;
 6. unescape HTML entities;
 7. per line: collapse horizontal whitespace, strip; drop empty lines;
@@ -53,7 +53,7 @@ _DROP_RE = re.compile(
     "|".join(rf"<{t}\b[^>]*>.*?</{t}\s*>" for t in _DROP_TAGS), re.I | re.S
 )
 _BLOCK_RE = re.compile(
-    r"</(?:p|div|li|ul|ol|h[1-6]|tr|table|article|section|blockquote|pre)\s*>"
+    r"</?(?:p|div|li|ul|ol|h[1-6]|tr|table|article|section|blockquote|pre)\b[^>]*>"
     r"|<br\s*/?\s*>",
     re.I,
 )

@@ -198,6 +198,7 @@ def _synthesize_inner_outer(
     reference warns and returns NA, R/overlaps.R:491-496).
     """
     s, e = F.col(start_col), F.col(end_col)
+    has_types = "types" in x.columns
     partial = x.filter(F.col("ovl_type").isin("ovl_partial", "ovl_partial|ovl_distinct"))
     base = partial.groupBy(*part, "ovl_id").agg(
         F.count(F.lit(1)).alias("_n"),
@@ -218,7 +219,7 @@ def _synthesize_inner_outer(
         F.min_by(F.col(text_col), s).alias("_t1"),
         F.max_by(F.col(text_col), s).alias("_t2"),
         F.min_by(e, s).alias("_e1"),
-        F.first(F.col("types")).alias("_types"),
+        *([F.first(F.col("types")).alias("_types")] if has_types else []),
     )
     # outer: [min_s, max_e]; text = setdiff-prefix of t1 (R/overlaps.R:513-519:
     # left = setdiff(range1, range2) => min(e1 - s1 + 1, s2 - s1) chars) || t2
@@ -237,14 +238,18 @@ def _synthesize_inner_outer(
         F.trim(F.expr("substr(_t2, 1, cast(_min_e - _max_s + 1 as int))")),
     )
     shared = [F.col(c) for c in part] + [F.col("ovl_id")]
-    types_kept = F.when(F.col("_n_uri") == 1, F.col("_types"))
+    types_cols = (
+        [F.when(F.col("_n_uri") == 1, F.col("_types")).alias("types")]
+        if has_types
+        else []
+    )
     outer_rows = base.select(
         *shared,
         F.col("_min_s").alias(start_col),
         F.col("_max_e").alias(end_col),
         F.col("_uris").alias(uri_col),
         outer_text.alias(text_col),
-        types_kept.alias("types"),
+        *types_cols,
         F.when(F.col("_n_uri") == 1, F.lit("ovl_partial|ovl_outer"))
         .otherwise("ovl_partial|ovl_multiple|ovl_outer")
         .alias("ovl_type"),
@@ -255,14 +260,11 @@ def _synthesize_inner_outer(
         F.col("_min_e").alias(end_col),
         F.col("_uris").alias(uri_col),
         inner_text.alias(text_col),
-        types_kept.alias("types"),
+        *types_cols,
         F.when(F.col("_n_uri") == 1, F.lit("ovl_partial|ovl_inner"))
         .otherwise("ovl_partial|ovl_multiple|ovl_inner")
         .alias("ovl_type"),
     )
-    if "types" not in x.columns:
-        outer_rows = outer_rows.drop("types")
-        inner_rows = inner_rows.drop("types")
     return x.unionByName(outer_rows, allowMissingColumns=True).unionByName(
         inner_rows, allowMissingColumns=True
     )

@@ -1,0 +1,90 @@
+"""End-to-end pipeline goldens + checkpoint resume."""
+
+import json
+import os
+
+from kgspark import synth
+from kgspark.pipeline import PipelineConfig, run_pipeline
+
+
+def _run(spark, docs, cfg=None):
+    return run_pipeline(
+        spark,
+        docs,
+        synth.golden_lexicon_df(spark),
+        synth.redirects_df(spark),
+        synth.sameas_df(spark),
+        cfg or PipelineConfig(),
+    )
+
+
+def test_golden_annotations_end_to_end(spark):
+    out = _run(spark, synth.golden_documents(spark))
+    got = {
+        (r["doc_id"].removeprefix("golden://"), r["start"], r["text"], r["dbpedia_uri"], r["category"])
+        for r in out["canonical"].collect()
+    }
+    assert got == {
+        ("g1", 1, "Vice President Gore", "dbr:Al_Gore", "PERSON"),
+        ("g1", 24, "Washington D.C.", "dbr:Washington,_D.C.", "LOCATION"),
+        ("g2", 1, "Crude oil", "dbr:Petroleum", "MISC"),
+        ("g3", 1, "Berlin", "dbr:Berlin", "LOCATION"),
+        ("g3", 15, "capital", "dbr:Capital_city", "MISC"),
+        ("g3", 26, "Germany", "dbr:Germany", "LOCATION"),
+        ("g4", 5, "Deutsche Bundestag", "dbr:Bundestag", "ORGANIZATION"),
+        ("g4", 32, "Berlin", "dbr:Berlin", "LOCATION"),
+    }
+
+
+def test_extraction_byte_identity_through_pipeline(spark):
+    docs = synth.synth_documents(spark, n_docs=30)
+    out = _run(spark, docs)
+    mismatches = (
+        out["documents"]
+        .select("url", "text")
+        .join(docs.select("url", docs["text"].alias("expected")), "url")
+        .filter("text <> expected OR text IS NULL")
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_segmentation_invariance_through_pipeline(spark):
+    """Mention set identical with and without forced segmentation
+    (test-segment.R:38-64 contract, at pipeline level)."""
+    docs = synth.synth_documents(spark, n_docs=24)
+    lex = synth.lexicon_df(spark)
+    rd, sa = synth.redirects_df(spark), synth.sameas_df(spark)
+    big = run_pipeline(spark, docs, lex, rd, sa, PipelineConfig(max_len=100000))
+    small = run_pipeline(spark, docs, lex, rd, sa, PipelineConfig(max_len=800, overlap=300))
+    key = lambda df: {
+        (r["doc_id"], r["start"], r["text"], r["dbpedia_uri"])
+        for r in df.select("doc_id", "start", "text", "dbpedia_uri").collect()
+    }
+    assert key(big["mentions"]) == key(small["mentions"])
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    docs = synth.golden_documents(spark)
+    cfg = PipelineConfig(checkpoint_root=str(tmp_path))
+    first = _run(spark, docs, cfg)
+    n1 = first["triples"].count()
+    again = _run(spark, docs, cfg)
+    assert again["triples"].count() == n1
+    assert all(m["resumed"] for m in again["metrics"])
+    manifest = json.load(open(os.path.join(str(tmp_path), "spot", "_kg_manifest.json")))
+    assert manifest["complete"]
+    assert manifest["output_rows"] == sum(p["rows"] for p in manifest["partitions"])
+
+
+def test_triples_deterministic_across_runs(spark):
+    docs = synth.synth_documents(spark, n_docs=20)
+    lex = synth.lexicon_df(spark)
+    rd, sa = synth.redirects_df(spark), synth.sameas_df(spark)
+
+    def run():
+        out = run_pipeline(spark, docs, lex, rd, sa, PipelineConfig())
+        return {tuple(r) for r in out["triples"].collect()}
+
+    t1, t2 = run(), run()
+    assert t1 == t2 and len(t1) > 0
