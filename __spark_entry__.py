@@ -1,38 +1,431 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the kgspark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end KG-construction query
+(documents -> mentions -> overlap resolution -> canonicalization ->
+triples) at sf0.001. ``queries()`` exposes one callable per implemented
+operator from SURVEY.md §2 (plus the training-data-pipeline operators);
+``oracle_sql()`` gives the DuckDB-equivalent SQL (kgspark.oracles) that
+recomputes the identical result on the same parquet views — the
+correctness gate. Column names/types are aligned pairwise.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kgspark import oracles
+from kgspark import synth
+from kgspark.align import align_mentions, align_regions, sentence_regions, token_table
+from kgspark.automaton import build_automaton
+from kgspark.canonicalize import canonicalize, close_redirects, wikidata_properties
+from kgspark.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from kgspark.disambig import (
+    disambiguate,
+    doc_tokens,
+    generate_candidates,
+    link_mentions,
+)
+from kgspark.entity_types import entity_types_map
+from kgspark.extract import extract_text
+from kgspark.multimodal import extract_features, sample_video_frames, synth_media
+from kgspark.overlaps import OVL_FLAGS, categorize_overlap, detect_overlap, resolve_overlap
+from kgspark.segment import segment_documents, stitch_filter
+from kgspark.similarity import cosine_topk, embedding_near_duplicates, hyperplane_lsh_topk
+from kgspark.spot import spot_documents, spot_segments
+from kgspark.streaming import sessionize
+from kgspark import textops
+from kgspark.triples import mentions_to_triples
+
+_AUTOMATON = None
 
 
+def _automaton(spark: SparkSession):
+    global _AUTOMATON
+    if _AUTOMATON is None:
+        forms = sorted({r[0] for r in synth.LEXICON_ROWS})
+        _AUTOMATON = spark.sparkContext.broadcast(build_automaton(forms))
+    return _AUTOMATON
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _spots(spark, sf_dir):
+    return spot_documents(_docs(spark, sf_dir), _automaton(spark), doc_col="doc_id")
+
+
+def _linked(spark, sf_dir):
+    return link_mentions(
+        _spots(spark, sf_dir),
+        synth.lexicon_df(spark),
+        _docs(spark, sf_dir),
+        doc_col="doc_id",
+        min_support=oracles.MIN_SUPPORT,
+        confidence=oracles.CONFIDENCE,
+    )
+
+
+def _resolved(spark, sf_dir):
+    detected = detect_overlap(_linked(spark, sf_dir), doc_col="doc_id")
+    categorized = categorize_overlap(detected, doc_col="doc_id")
+    return resolve_overlap(
+        categorized, keep=["longest", "shortest"], tiebreak="first", doc_col="doc_id"
+    )
+
+
+def _canonical(spark, sf_dir):
+    return canonicalize(
+        _resolved(spark, sf_dir),
+        close_redirects(synth.redirects_df(spark)),
+        synth.sameas_df(spark),
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations (Spark side)
+def q_extract_text(spark, sf_dir):
+    """S6/stage-1: synthesize the page bytes from `text` with the shared SQL
+    template, then run the real extractor — byte-identity oracle."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "html",
+        F.encode(F.expr(synth.html_sql_expr("text", "doc_id")), "UTF-8"),
+    )
+    return extract_text(docs, out_col="extracted").select("doc_id", "extracted")
+
+
+def q_segment_invariants(spark, sf_dir, max_len=200, overlap=50):
+    """C1: per-doc invariant — segments placed at their offsets reconstruct
+    the document exactly and tile it (test-segment.R:6-36 contract)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    segs = segment_documents(docs, max_len=max_len, overlap=overlap)
+    segs = segs.withColumn(
+        "_placed_ok",
+        F.expr("substr(text, cast(seg_off as int), length(seg_text))") == F.col("seg_text"),
+    ).withColumn("_seg_end", F.col("seg_off") + F.length("seg_text") - 1)
+    w = Window.partitionBy("doc_id").orderBy("seg_off")
+    segs = segs.withColumn(
+        "_adj_ok",
+        F.coalesce(F.col("seg_off") <= F.lag("_seg_end").over(w) + 1, F.lit(True)),
+    )
+    return segs.groupBy("doc_id").agg(
+        (
+            F.min(F.col("_placed_ok").cast("int")).cast("boolean")
+            & F.min(F.col("_adj_ok").cast("int")).cast("boolean")
+            & (F.min("seg_off") == 1)
+            & (F.max("_seg_end") == F.max(F.length("text")))
+        ).alias("ok")
+    )
+
+
+def q_spot_mentions(spark, sf_dir):
+    return _spots(spark, sf_dir)
+
+
+def q_segment_stitch(spark, sf_dir, max_len=300, overlap=80):
+    """C1+C2: spotting through the segmented path must equal direct spotting
+    — the oracle is the *unsegmented* SQL spotter."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    segs = segment_documents(docs, max_len=max_len, overlap=overlap)
+    return stitch_filter(spot_segments(segs, _automaton(spark), doc_col="doc_id"))
+
+
+def q_candidates(spark, sf_dir):
+    return generate_candidates(_spots(spark, sf_dir), synth.lexicon_df(spark)).select(
+        "doc_id", "start", "text", "uri", "support"
+    )
+
+
+def q_disambiguate(spark, sf_dir):
+    return _linked(spark, sf_dir).select("doc_id", "start", "text", "dbpedia_uri")
+
+
+def q_type_filter(spark, sf_dir):
+    cands = generate_candidates(_spots(spark, sf_dir), synth.lexicon_df(spark))
+    toks = doc_tokens(_docs(spark, sf_dir), doc_col="doc_id")
+    out = disambiguate(cands, toks, confidence=oracles.CONFIDENCE, types=["Software"])
+    return out.select("doc_id", "start", "text", "dbpedia_uri")
+
+
+def q_types_pivot(spark, sf_dir):
+    return _linked(spark, sf_dir).select(
+        "doc_id",
+        "start",
+        "text",
+        F.col("DBpedia_type").alias("dbpedia_type"),
+        F.col("Wikidata_type").alias("wikidata_type"),
+    )
+
+
+def q_detect_overlap(spark, sf_dir):
+    return detect_overlap(_linked(spark, sf_dir), doc_col="doc_id").select(
+        "doc_id", "start", "text", "end", "ovl_id"
+    )
+
+
+def q_categorize_overlap(spark, sf_dir):
+    detected = detect_overlap(_linked(spark, sf_dir), doc_col="doc_id")
+    return categorize_overlap(detected, doc_col="doc_id").select(
+        "doc_id", "start", "text", "ovl_id", *OVL_FLAGS
+    )
+
+
+def q_resolve_overlap(spark, sf_dir):
+    return _resolved(spark, sf_dir).select("doc_id", "start", "text", "dbpedia_uri", "ovl_id")
+
+
+def q_entity_types(spark, sf_dir):
+    typed = entity_types_map(_linked(spark, sf_dir), oracles.TYPE_MAPPING)
+    return typed.select("doc_id", "start", "text", "category")
+
+
+def q_canonicalize(spark, sf_dir):
+    return _canonical(spark, sf_dir).select(
+        "doc_id", "start", "text", "canonical_uri", "wikidata_id"
+    )
+
+
+def q_wikidata_props(spark, sf_dir):
+    enriched = wikidata_properties(_canonical(spark, sf_dir), synth.labels_df(spark))
+    return enriched.select("doc_id", "start", "canonical_uri", "prop_labels")
+
+
+def q_triples(spark, sf_dir):
+    typed = entity_types_map(_canonical(spark, sf_dir), oracles.TYPE_MAPPING)
+    return mentions_to_triples(typed, doc_col="doc_id")
+
+
+def q_align_tokens(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    aligned = align_mentions(_spots(spark, sf_dir), token_table(docs, doc_col="doc_id"))
+    return aligned.select(
+        "doc_id", "start", "text", "end", "cpos_left", "cpos_right", "covered_words"
+    )
+
+
+def q_align_regions(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = token_table(docs, doc_col="doc_id")
+    aligned = align_mentions(_spots(spark, sf_dir), toks)
+    return align_regions(aligned, sentence_regions(toks, tokens_per_region=10))
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", textops.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_quality(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", textops.quality_score(F.col("text")).alias("quality")
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("n_ws"),
+        textops.bpe_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", textops.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return minhash_near_duplicates(_docs(spark, sf_dir), k=16, bands=4, threshold=0.5)
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return minhash_near_duplicates(
+        _docs(spark, sf_dir), k=16, bands=4, threshold=0.8, char_mode=True, shingle_words=3
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_near_duplicates(_docs(spark, sf_dir), bits=16, max_hamming=2)
+
+
+def q_embed_neardup(spark, sf_dir):
+    return embedding_near_duplicates(
+        _load(spark, sf_dir, "embeddings"), threshold=0.4, exact=True
+    )
+
+
+def q_embed_topk(spark, sf_dir):
+    return cosine_topk(
+        _load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def q_sessionize(spark, sf_dir):
+    s = sessionize(_load(spark, sf_dir, "events"), gap_minutes=30)
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(epoch).alias("session_start"),
+        F.max(epoch).alias("session_end"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def q_tpch_pricing(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = F.broadcast(_load(spark, sf_dir, "nation"))
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def q_latest_order(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+# rows-only operators (no SQL-expressible oracle; driver records row counts)
+def q_ann_lsh(spark, sf_dir):
+    return hyperplane_lsh_topk(
+        _load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4
+    )
+
+
+def q_media_features(spark, sf_dir):
+    return extract_features(synth_media(spark, n=48), decode_mode="fake")
+
+
+def q_video_frames(spark, sf_dir):
+    return sample_video_frames(synth_media(spark, n=24), every_ms=5000)
+
+
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full KG construction at sf0.001 -> (subj, pred, obj)."""
+    return q_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_text": q_extract_text,
+        "segment_invariants": q_segment_invariants,
+        "spot_mentions": q_spot_mentions,
+        "segment_stitch": q_segment_stitch,
+        "candidates_support": q_candidates,
+        "disambiguate_top1": q_disambiguate,
+        "type_filter": q_type_filter,
+        "types_pivot": q_types_pivot,
+        "detect_overlap": q_detect_overlap,
+        "categorize_overlap": q_categorize_overlap,
+        "resolve_overlap": q_resolve_overlap,
+        "entity_types_map": q_entity_types,
+        "canonicalize": q_canonicalize,
+        "wikidata_props": q_wikidata_props,
+        "triples": q_triples,
+        "align_tokens": q_align_tokens,
+        "align_regions": q_align_regions,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram,
+        "dedup_simhash": q_dedup_simhash,
+        "embed_neardup": q_embed_neardup,
+        "embed_cosine_topk": q_embed_topk,
+        "events_sessionize": q_sessionize,
+        "tpch_pricing": q_tpch_pricing,
+        "nation_revenue": q_nation_revenue,
+        "latest_order": q_latest_order,
+        "ann_lsh_bucketed": q_ann_lsh,
+        "media_features": q_media_features,
+        "video_frame_sample": q_video_frames,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_text": oracles.q_extract_text(),
+        "segment_invariants": oracles.q_segment_invariants(),
+        "spot_mentions": oracles.q_spot_mentions(),
+        "segment_stitch": oracles.q_spot_mentions(),  # invariance IS the oracle
+        "candidates_support": oracles.q_candidates(),
+        "disambiguate_top1": oracles.q_disambiguate(),
+        "type_filter": oracles.q_type_filter("Software"),
+        "types_pivot": oracles.q_types_pivot(),
+        "detect_overlap": oracles.q_detect_overlap(),
+        "categorize_overlap": oracles.q_categorize_overlap(),
+        "resolve_overlap": oracles.q_resolve_overlap(),
+        "entity_types_map": oracles.q_entity_types(),
+        "canonicalize": oracles.q_canonicalize(),
+        "wikidata_props": oracles.q_wikidata_props(),
+        "triples": oracles.q_triples(),
+        "align_tokens": oracles.q_align_tokens(),
+        "align_regions": oracles.q_align_regions(),
+        "lang_id": oracles.q_lang_id(),
+        "quality_score": oracles.q_quality(),
+        "token_counts": oracles.q_token_counts(),
+        "fingerprint": oracles.q_fingerprint(),
+        "dedup_exact": oracles.q_dedup_exact(),
+        "dedup_minhash_lsh": oracles.q_dedup_minhash(),
+        "dedup_ngram_jaccard": oracles.q_dedup_minhash(
+            k=16, bands=4, threshold=0.8, char_mode=True, shingle_n=3
+        ),
+        "dedup_simhash": oracles.q_dedup_simhash(),
+        "embed_neardup": oracles.q_embed_neardup(threshold=0.4),
+        "embed_cosine_topk": oracles.q_embed_topk(),
+        "events_sessionize": oracles.q_sessionize(),
+        "tpch_pricing": oracles.q_tpch_pricing(),
+        "nation_revenue": oracles.q_nation_revenue(),
+        "latest_order": oracles.q_latest_order(),
+        # ann_lsh_bucketed / media_features / video_frame_sample: rows-only
+    }

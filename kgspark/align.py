@@ -1,0 +1,131 @@
+"""Token/region alignment operators (J1-J4, SURVEY §2.5).
+
+The reference maps character-offset mentions onto CWB token positions
+(``cpos``): an equi-join on (start, text) for exact hits
+(``R/dbpedia.R:876``), as-of boundary expansion for inexact spans
+(``expand_fun``, ``R/dbpedia.R:835-852``), a grouped min/max resolution per
+mention (``R/dbpedia.R:857-868``) and a point-in-region rewrite against
+structural-attribute spans (``R/dbpedia.R:885-897``).
+
+Spark formulation: the token table is derived from the document text with
+``posexplode`` + a running-sum window (char offsets = cumsum(len+1), the
+same arithmetic as segmentation); alignment is an equi-join on doc_id with
+range predicates, aggregated per mention — doc-local, so the only shuffle
+is the doc_id co-partitioning. End convention here is
+``end = start + nchar(text) - 1`` (R/dbpedia.R:856 — intentionally distinct
+from the overlap module's convention, see kgspark.overlaps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def token_table(
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, cpos, word, begin, end): cpos 1-based, begin/end 1-based
+    inclusive char offsets."""
+    toks = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "word"),
+    ).withColumn("cpos", F.col("pos0") + 1)
+    w = Window.partitionBy("doc_id").orderBy("cpos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        toks.withColumn(
+            "begin", F.coalesce(F.sum(F.length("word") + 1).over(w), F.lit(0)) + 1
+        )
+        .withColumn("end", F.col("begin") + F.length("word") - 1)
+        .select("doc_id", "cpos", "word", "begin", "end")
+    )
+
+
+def align_mentions(
+    mentions: DataFrame,
+    tokens: DataFrame,
+) -> DataFrame:
+    """Attach cpos_left / cpos_right to each (doc_id, start, text) mention.
+
+    cpos_left  = last token starting at or before the mention start
+                 (expand-left as-of, R/dbpedia.R:846-851);
+    cpos_right = first token ending at or after the mention end
+                 (expand-right, R/dbpedia.R:838-845).
+    Mentions whose span falls outside any token stay NULL and are the
+    'inexact annotations' the reference drops with a warning
+    (P9, R/dbpedia.R:926-934).
+    """
+    m = mentions.withColumn("m_end", F.col("start") + F.length("text") - 1)
+    j = m.join(tokens, "doc_id")
+    return (
+        j.groupBy("doc_id", "start", "text", "m_end")
+        .agg(
+            F.max(F.when(F.col("begin") <= F.col("start"), F.col("cpos"))).alias(
+                "cpos_left"
+            ),
+            F.min(F.when(F.col("end") >= F.col("m_end"), F.col("cpos"))).alias(
+                "cpos_right"
+            ),
+            # J3 analogue: ids of tokens fully covered by the mention span,
+            # pipe-joined in cpos order (R/dbpedia.R:1247-1258)
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                (F.col("begin") >= F.col("start"))
+                                & (F.col("end") <= F.col("m_end")),
+                                F.struct(F.col("cpos"), F.col("word")),
+                            )
+                        )
+                    ),
+                    lambda r: r["word"],
+                ),
+                "|",
+            ).alias("covered_words"),
+        )
+        .withColumnRenamed("m_end", "end")
+    )
+
+
+def drop_inexact(aligned: DataFrame) -> DataFrame:
+    """P9: drop rows whose span did not align to token boundaries."""
+    return aligned.filter(
+        F.col("cpos_left").isNotNull() & F.col("cpos_right").isNotNull()
+    )
+
+
+def sentence_regions(
+    tokens: DataFrame, tokens_per_region: int = 10
+) -> DataFrame:
+    """Synthetic structural-attribute spans: fixed-width token windows
+    (stand-in for CWB s-attributes; region matrix analogue,
+    R/dbpedia.R:891-896)."""
+    t = tokens.withColumn(
+        "struc_id", F.floor((F.col("cpos") - 1) / tokens_per_region)
+    )
+    return t.groupBy("doc_id", "struc_id").agg(
+        F.min("cpos").alias("region_cpos_l"),
+        F.max("cpos").alias("region_cpos_r"),
+    )
+
+
+def align_regions(
+    aligned: DataFrame, regions: DataFrame
+) -> DataFrame:
+    """J4: point-in-range join cpos_left -> containing region; mention
+    bounds are overwritten with the full region bounds
+    (R/dbpedia.R:885-897)."""
+    j = aligned.join(regions, "doc_id").filter(
+        (F.col("cpos_left") >= F.col("region_cpos_l"))
+        & (F.col("cpos_left") <= F.col("region_cpos_r"))
+    )
+    return j.select(
+        "doc_id",
+        "start",
+        "text",
+        F.col("struc_id"),
+        F.col("region_cpos_l").alias("cpos_left"),
+        F.col("region_cpos_r").alias("cpos_right"),
+    )

@@ -81,14 +81,7 @@ def wikidata_properties(
     keyed left join back (R/wikidata.R:239-269), as a broadcast join."""
     collapsed = labels.groupBy("wikidata_id").agg(
         F.array_join(
-            F.array_distinct(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("prop_id"), F.col("prop_label")))
-                    ),
-                    lambda r: r["prop_label"],
-                )
-            ),
+            F.array_sort(F.array_distinct(F.collect_list(F.col("prop_label")))),
             "|",
         ).alias("prop_labels")
     )

@@ -1,0 +1,244 @@
+"""Deduplication operators for web-scale corpora.
+
+Four families, all shuffle-disciplined and all with DuckDB-mirrorable
+deterministic definitions (md5-derived hashes, never engine-native hash
+functions, so the oracle can recompute signatures bit-identically):
+
+- exact:    fingerprint group-by (one shuffle on a 128-bit key);
+- MinHash:  k md5-seeded min-hashes over word-shingle sets, banded LSH
+            bucket join for candidate pairs, exact Jaccard verification;
+- SimHash:  bitwise majority of token hashes, banded hamming join;
+- n-gram:   character-3-gram MinHash + exact Jaccard.
+
+Scale notes: signatures are computed narrowly with ``array_min(transform())``
+(no explode, no shuffle); candidate generation shuffles on (band_id,
+band_key) whose cardinality ~ n_docs * n_bands with tiny groups; only
+verified candidate pairs ever materialize. Head buckets (boilerplate pages
+all hashing equal) are bounded by the per-bucket pair cap AQE skew-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kgspark.textops import fingerprint, tokens
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fingerprint, rep_id, is_dup): rep = min id per fingerprint."""
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+    w = fp.groupBy("fingerprint").agg(F.min(id_col).alias("rep_id"))
+    return (
+        fp.join(w, "fingerprint")
+        .withColumn("is_dup", F.col(id_col) != F.col("rep_id"))
+        .select(id_col, "fingerprint", "rep_id", "is_dup")
+    )
+
+
+def _hash64_expr(s):
+    """Deterministic 32-bit-ish int from md5 prefix — bit-identical in
+    DuckDB: cast('0x' || substr(md5(x),1,8) as bigint)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct n-word shingles (expression, 1-based element_at)."""
+    toks = tokens(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def char_ngrams(text_col, n: int = 3):
+    t = F.lower(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+    )
+
+
+def minhash_signature(shingles_col, k: int = 16):
+    """k min-hashes as an array column — computed without explode."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles_col,
+                    lambda sh, j=j: _hash64_expr(F.concat(F.lit(f"{j}:"), sh)),
+                )
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def minhash_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    shingle_words: int = 3,
+    char_mode: bool = False,
+) -> DataFrame:
+    sh = (
+        char_ngrams(F.col(text_col), shingle_words)
+        if char_mode
+        else word_shingles(F.col(text_col), shingle_words)
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", minhash_signature(F.col("shingles"), k))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of any band become a pair."""
+    banded = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def jaccard_verified_pairs(pairs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard on the shingle sets of candidate pairs."""
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    char_mode: bool = False,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """shingle -> minhash -> band -> bucket-join -> verify (the full path)."""
+    sigs = minhash_docs(df, id_col, text_col, k=k, shingle_words=shingle_words, char_mode=char_mode)
+    pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=k // bands)
+    return jaccard_verified_pairs(pairs, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Bitwise-majority token hash (Charikar 2002), relational formulation:
+    explode tokens, 16-bit md5-prefix hash per token, per-bit +/- counts,
+    reassemble the sign vector as an integer."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Multi-index banded hamming join: split the hash into two halves; any
+    pair within hamming distance <= 2 agrees exactly on at least one half
+    only when distance is concentrated — for a guarantee with distance d,
+    use d+1 bands (pigeonhole). Here: 2 halves cover d <= 1 exactly and
+    d <= 2 heuristically; verification recomputes true hamming."""
+    s = simhash(df, id_col, text_col, bits=bits)
+    half_bits = bits // 2
+    banded = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"), (F.col("simhash") % (1 << half_bits)).alias("band_key")),
+                F.struct(F.lit(1).alias("band_id"), F.shiftright("simhash", half_bits).alias("band_key")),
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

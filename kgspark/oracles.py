@@ -1,0 +1,595 @@
+"""DuckDB oracle SQL for every operator in ``__spark_entry__.queries()``.
+
+Each function returns an ANSI-ish SQL string (DuckDB dialect) that
+recomputes the corresponding Spark operator's result from the same parquet
+views (``documents``, ``embeddings``, ``lineitem``, ...). The lexicon and
+KG dimension tables are inlined as VALUES from the same seeded constants in
+``kgspark.synth``, so both engines see identical inputs.
+
+Mirroring rules (kept in lockstep with the Spark operators — any change on
+one side must change the other):
+- spotting: ASCII word-boundary substring occurrences, 1-based starts;
+- hashes: md5-derived only (bit-identical across engines), via
+  ``cast('0x' || substr(md5(x),1,8) as bigint)``;
+- money aggregations: exact DECIMAL(18,4) sums cast back to double;
+- every float output rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from kgspark.synth import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    LEXICON_ROWS,
+    REDIRECT_ROWS,
+    SAMEAS_ROWS,
+    LABEL_ROWS,
+)
+from kgspark.textops import BPE_PATTERN
+
+MIN_SUPPORT = 20
+CONFIDENCE = 0.35
+WORD = "[0-9A-Za-z]"
+
+
+# ---------------------------------------------------------------------------
+# shared CTE fragments
+def lex_cte() -> str:
+    rows = ",\n      ".join(
+        "('{sf}', '{uri}', {prior}::DOUBLE, {support}, '{dt}', '{wt}', '{ctx}')".format(
+            sf=sf, uri=uri, prior=prior, support=support,
+            dt="|".join(dts or []), wt="|".join(wts or []), ctx=ctx,
+        )
+        for sf, uri, prior, support, dts, wts, ctx in LEXICON_ROWS
+    )
+    return f"lex(sf, uri, prior, support, dtypes, wtypes, ctx) AS (VALUES\n      {rows})"
+
+
+def spots_cte() -> str:
+    return f"""forms AS (SELECT DISTINCT sf FROM lex),
+  spots AS (
+    SELECT d.doc_id,
+      unnest(list_filter(generate_series(1, length(d.text) - length(f.sf) + 1),
+        p -> substr(d.text, p, length(f.sf)) = f.sf
+          AND (p = 1 OR NOT regexp_matches(substr(d.text, p - 1, 1), '{WORD}'))
+          AND (p + length(f.sf) > length(d.text)
+               OR NOT regexp_matches(substr(d.text, p + length(f.sf), 1), '{WORD}'))
+      )) AS start,
+      f.sf AS text
+    FROM documents d CROSS JOIN forms f
+    WHERE length(d.text) >= length(f.sf))"""
+
+
+def cands_cte(min_support: int = MIN_SUPPORT) -> str:
+    return f"""cands AS (
+    SELECT s.doc_id, s.start, s.text, l.uri, l.prior, l.support, l.dtypes, l.wtypes, l.ctx
+    FROM spots s JOIN lex l ON s.text = l.sf
+    WHERE l.support >= {min_support})"""
+
+
+def linked_cte(confidence: float = CONFIDENCE) -> str:
+    return rf"""dtoks AS (
+    SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks FROM documents),
+  scored AS (
+    SELECT c.*, (1.0 + len(list_intersect(dt.toks, string_split(c.ctx, ' ')))) * c.prior AS score
+    FROM cands c JOIN dtoks dt USING (doc_id)),
+  ranked AS (
+    SELECT *,
+      row_number() OVER (PARTITION BY doc_id, start, text ORDER BY score DESC, uri) AS rnk,
+      score / sum(score) OVER (PARTITION BY doc_id, start, text) AS conf
+    FROM scored),
+  linked AS (
+    SELECT doc_id, start, text, uri AS dbpedia_uri, dtypes, wtypes
+    FROM ranked WHERE rnk = 1 AND conf >= {confidence})"""
+
+
+def detect_cte(src: str = "linked") -> str:
+    return f"""ovl0 AS (SELECT *, start + length(text) AS "end" FROM {src}),
+  ovl1 AS (SELECT *,
+      max("end") OVER (PARTITION BY doc_id ORDER BY start, "end", text
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mpe
+    FROM ovl0),
+  ovl2 AS (SELECT *, CASE WHEN mpe IS NULL OR start > mpe THEN 1 ELSE 0 END AS is_new FROM ovl1),
+  ovl3 AS (SELECT *,
+      sum(is_new) OVER (PARTITION BY doc_id ORDER BY start, "end", text
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+    FROM ovl2),
+  ovl4 AS (SELECT *, count(*) OVER (PARTITION BY doc_id, grp) AS grp_n FROM ovl3),
+  detected AS (SELECT *,
+      CASE WHEN grp_n > 1 THEN
+        'ovl_' || doc_id::VARCHAR || '_' ||
+        (dense_rank() OVER (PARTITION BY doc_id, grp_n > 1 ORDER BY grp))::VARCHAR
+      END AS ovl_id
+    FROM ovl4)"""
+
+
+def categorize_cte(src: str = "detected") -> str:
+    w = "PARTITION BY doc_id, ovl_id"
+    ws = f'{w} ORDER BY start, "end", text'
+    return f"""cat0 AS (SELECT *, "end" - start AS len_,
+      len(list_distinct(list(dbpedia_uri) OVER ({w}))) AS n_uri,
+      len(list_distinct(list(start::VARCHAR || ':' || "end"::VARCHAR) OVER ({w}))) AS n_span,
+      coalesce(max("end") OVER ({ws} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= "end", false) AS inner_,
+      coalesce(min("end") OVER ({ws} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) <= "end", false) AS outer_,
+      min("end" - start) OVER ({w}) AS min_len,
+      max("end" - start) OVER ({w}) AS max_len
+    FROM {src}),
+  cat1 AS (SELECT *,
+      sum(CASE WHEN len_ = min_len THEN 1 ELSE 0 END) OVER ({w}) AS n_min,
+      sum(CASE WHEN len_ = max_len THEN 1 ELSE 0 END) OVER ({w}) AS n_max,
+      max(CASE WHEN inner_ THEN 1 ELSE 0 END) OVER ({w}) = 1 AS has_cont
+    FROM cat0),
+  categorized AS (SELECT *,
+      CASE WHEN ovl_id IS NULL THEN NULL
+           WHEN n_span = 1 AND n_uri > 1 THEN 'ovl_multiple'
+           WHEN NOT has_cont AND n_uri = 1 THEN 'ovl_partial'
+           WHEN NOT has_cont AND n_uri > 1 THEN 'ovl_partial|ovl_distinct'
+           WHEN len_ = max_len AND n_max = 1 THEN 'ovl_longest'
+           WHEN len_ = min_len AND n_min = 1 THEN 'ovl_shortest'
+           WHEN outer_ THEN 'ovl_outer'
+           WHEN inner_ THEN 'ovl_inner'
+           ELSE 'ovl_undetermined' END AS ovl_type
+    FROM cat1)"""
+
+
+FLAG_SELECT = ",\n      ".join(
+    f"CASE WHEN ovl_id IS NULL THEN NULL ELSE contains(ovl_type, '{f}') END AS {f}"
+    for f in (
+        "ovl_longest", "ovl_shortest", "ovl_inner", "ovl_outer",
+        "ovl_partial", "ovl_multiple", "ovl_distinct", "ovl_undetermined",
+    )
+)
+
+
+def resolve_cte(keep: tuple[str, ...] = ("longest", "shortest"), src: str = "categorized") -> str:
+    keep_case = "CASE " + " ".join(
+        f"WHEN contains(ovl_type, 'ovl_{k}') THEN {i + 1}" for i, k in enumerate(keep)
+    ) + " END"
+    return f"""res0 AS (SELECT *, CASE WHEN ovl_id IS NULL THEN NULL ELSE {keep_case} END AS keepv FROM {src}),
+  res1 AS (SELECT *,
+      min(CASE WHEN keepv > 0 THEN keepv END) OVER (PARTITION BY doc_id, ovl_id) AS pos_min
+    FROM res0),
+  res2 AS (SELECT *,
+      sum(CASE WHEN keepv = pos_min THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id, ovl_id) AS n_at_min,
+      CASE WHEN pos_min IS NULL THEN keepv IS NULL ELSE keepv = pos_min END AS cand
+    FROM res1),
+  res3 AS (SELECT *,
+      row_number() OVER (PARTITION BY doc_id, ovl_id
+                         ORDER BY CASE WHEN cand THEN 0 ELSE 1 END, start, "end", text) AS rn
+    FROM res2),
+  resolved AS (
+    SELECT * FROM res3
+    WHERE ovl_id IS NULL
+       OR (CASE WHEN pos_min IS NULL OR n_at_min > 1
+                THEN coalesce(cand, false) AND rn = 1
+                ELSE coalesce(cand, false) END))"""
+
+
+def dims_cte() -> str:
+    rd = ", ".join(f"('{s}', '{d}')" for s, d in REDIRECT_ROWS)
+    sa = ", ".join(f"('{a}', '{b}', '{c}')" for a, b, c in SAMEAS_ROWS)
+    return f"""rd(src, dst) AS (VALUES {rd}),
+  rc AS (SELECT r1.src, coalesce(r3.dst, r2.dst, r1.dst) AS dst
+         FROM rd r1 LEFT JOIN rd r2 ON r1.dst = r2.src
+                    LEFT JOIN rd r3 ON r2.dst = r3.src),
+  sameas(sa_uri, wikidata_uri, wikidata_id) AS (VALUES {sa})"""
+
+
+def canonical_cte(src: str = "resolved") -> str:
+    return f"""canonical AS (
+    SELECT m.*, coalesce(rc.dst, m.dbpedia_uri) AS canonical_uri
+    FROM {src} m LEFT JOIN rc ON m.dbpedia_uri = rc.src),
+  enriched AS (
+    SELECT c.*, s.wikidata_uri, s.wikidata_id
+    FROM canonical c LEFT JOIN sameas s ON c.canonical_uri = s.sa_uri)"""
+
+
+# category mapping used by the `entity_types_map` / `triples` queries
+TYPE_MAPPING: list[tuple[str, str]] = [
+    ("TOOL", "DBpedia:Software"),
+    ("ALGO", "DBpedia:Algorithm"),
+    ("OBJ", "DBpedia:Artifact"),
+    ("PLACE", "DBpedia:Place"),
+]
+
+
+def category_sql(dtypes_col: str = "dtypes") -> str:
+    cases = " ".join(
+        f"WHEN t = '{spec.split(':', 1)[1]}' THEN '{cat}'"
+        for cat, spec in TYPE_MAPPING
+    )
+    mapped = (
+        f"list_sort(list_distinct(list_filter(list_transform("
+        f"string_split({dtypes_col}, '|'), t -> CASE {cases} END), c -> c IS NOT NULL)))"
+    )
+    return (
+        f"CASE WHEN {dtypes_col} IS NULL OR {dtypes_col} = '' OR len({mapped}) = 0 "
+        f"THEN 'MISC' ELSE array_to_string({mapped}, '|') END"
+    )
+
+
+def _kg_chain(*parts: str) -> str:
+    return "WITH " + ",\n  ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# per-query oracle SQL
+def q_extract_text() -> str:
+    return "SELECT doc_id, text AS extracted FROM documents"
+
+
+def q_segment_invariants() -> str:
+    return "SELECT doc_id, true AS ok FROM documents"
+
+
+def q_spot_mentions() -> str:
+    return _kg_chain(lex_cte(), spots_cte()) + "\nSELECT doc_id, start, text FROM spots"
+
+
+def q_candidates() -> str:
+    return (
+        _kg_chain(lex_cte(), spots_cte(), cands_cte())
+        + "\nSELECT doc_id, start, text, uri, support FROM cands"
+    )
+
+
+def q_disambiguate() -> str:
+    return (
+        _kg_chain(lex_cte(), spots_cte(), cands_cte(), linked_cte())
+        + "\nSELECT doc_id, start, text, dbpedia_uri FROM linked"
+    )
+
+
+def q_type_filter(wanted: str = "Software") -> str:
+    return (
+        _kg_chain(lex_cte(), spots_cte(), cands_cte(), linked_cte())
+        + f"\nSELECT doc_id, start, text, dbpedia_uri FROM linked\n"
+        f"WHERE list_contains(string_split(dtypes, '|'), '{wanted}')"
+    )
+
+
+def q_types_pivot() -> str:
+    return (
+        _kg_chain(lex_cte(), spots_cte(), cands_cte(), linked_cte())
+        + "\nSELECT doc_id, start, text,"
+        " CASE WHEN dtypes <> '' THEN '|' || dtypes || '|' END AS dbpedia_type,"
+        " CASE WHEN wtypes <> '' THEN '|' || wtypes || '|' END AS wikidata_type"
+        " FROM linked"
+    )
+
+
+def q_detect_overlap() -> str:
+    return (
+        _kg_chain(lex_cte(), spots_cte(), cands_cte(), linked_cte(), detect_cte())
+        + '\nSELECT doc_id, start, text, "end", ovl_id FROM detected'
+    )
+
+
+def q_categorize_overlap() -> str:
+    return (
+        _kg_chain(lex_cte(), spots_cte(), cands_cte(), linked_cte(), detect_cte(), categorize_cte())
+        + f'\nSELECT doc_id, start, text, ovl_id,\n      {FLAG_SELECT}\nFROM categorized'
+    )
+
+
+def q_resolve_overlap() -> str:
+    return (
+        _kg_chain(
+            lex_cte(), spots_cte(), cands_cte(), linked_cte(),
+            detect_cte(), categorize_cte(), resolve_cte(),
+        )
+        + "\nSELECT doc_id, start, text, dbpedia_uri, ovl_id FROM resolved"
+    )
+
+
+def q_entity_types() -> str:
+    return (
+        _kg_chain(lex_cte(), spots_cte(), cands_cte(), linked_cte())
+        + f"\nSELECT doc_id, start, text, {category_sql()} AS category FROM linked"
+    )
+
+
+def q_canonicalize() -> str:
+    return (
+        _kg_chain(
+            lex_cte(), spots_cte(), cands_cte(), linked_cte(),
+            detect_cte(), categorize_cte(), resolve_cte(), dims_cte(), canonical_cte(),
+        )
+        + "\nSELECT doc_id, start, text, canonical_uri, wikidata_id FROM enriched"
+    )
+
+
+def q_wikidata_props() -> str:
+    lb = ", ".join(f"('{a}', '{b}', '{c}', '{d}')" for a, b, c, d in LABEL_ROWS)
+    return (
+        _kg_chain(
+            lex_cte(), spots_cte(), cands_cte(), linked_cte(),
+            detect_cte(), categorize_cte(), resolve_cte(), dims_cte(), canonical_cte(),
+            f"labels(wikidata_id, label, prop_id, prop_label) AS (VALUES {lb})",
+            """collapsed AS (
+    SELECT wikidata_id,
+           array_to_string(list_sort(list_distinct(list(prop_label))), '|') AS prop_labels
+    FROM labels GROUP BY wikidata_id)""",
+        )
+        + "\nSELECT e.doc_id, e.start, e.canonical_uri, c.prop_labels"
+        "\nFROM enriched e LEFT JOIN collapsed c USING (wikidata_id)"
+    )
+
+
+def q_triples() -> str:
+    return (
+        _kg_chain(
+            lex_cte(), spots_cte(), cands_cte(), linked_cte(),
+            detect_cte(), categorize_cte(), resolve_cte(), dims_cte(), canonical_cte(),
+            f"typed AS (SELECT *, {category_sql()} AS category FROM enriched)",
+        )
+        + """
+SELECT subj, pred, obj FROM (
+  SELECT canonical_uri AS subj, 'kg:mentionedIn' AS pred, doc_id::VARCHAR AS obj FROM typed
+  UNION
+  SELECT canonical_uri, 'kg:anchorOf', text FROM typed
+  UNION
+  SELECT canonical_uri, 'rdf:type', 'dbo:' || unnest(string_split(dtypes, '|')) FROM typed WHERE dtypes <> ''
+  UNION
+  SELECT canonical_uri, 'owl:sameAs', wikidata_uri FROM typed WHERE wikidata_uri IS NOT NULL
+  UNION
+  SELECT canonical_uri, 'kg:category', category FROM typed WHERE category IS NOT NULL
+)"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# alignment
+def token_cte() -> str:
+    return """tt0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  tt1 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS cpos FROM tt0),
+  tok AS (SELECT doc_id, cpos, ws[cpos] AS word,
+      1 + coalesce(sum(length(ws[cpos]) + 1) OVER (PARTITION BY doc_id ORDER BY cpos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS begin_
+    FROM tt1),
+  tok2 AS (SELECT doc_id, cpos, word, begin_, begin_ + length(word) - 1 AS end_ FROM tok)"""
+
+
+def align_cte(src: str = "spots") -> str:
+    return f"""m AS (SELECT doc_id, start, text, start + length(text) - 1 AS m_end FROM {src}),
+  aligned AS (
+    SELECT m.doc_id, m.start, m.text, m.m_end AS "end",
+      max(CASE WHEN t.begin_ <= m.start THEN t.cpos END) AS cpos_left,
+      min(CASE WHEN t.end_ >= m.m_end THEN t.cpos END) AS cpos_right,
+      coalesce(array_to_string(
+        list(t.word ORDER BY t.cpos) FILTER (WHERE t.begin_ >= m.start AND t.end_ <= m.m_end),
+        '|'), '') AS covered_words
+    FROM m JOIN tok2 t USING (doc_id)
+    GROUP BY m.doc_id, m.start, m.text, m.m_end)"""
+
+
+def q_align_tokens() -> str:
+    return (
+        _kg_chain(lex_cte(), spots_cte(), token_cte(), align_cte())
+        + '\nSELECT doc_id, start, text, "end", cpos_left, cpos_right, covered_words FROM aligned'
+    )
+
+
+def q_align_regions(tokens_per_region: int = 10) -> str:
+    return (
+        _kg_chain(
+            lex_cte(), spots_cte(), token_cte(), align_cte(),
+            f"""regions AS (
+    SELECT doc_id, cast(floor((cpos - 1) / {tokens_per_region}) AS BIGINT) AS struc_id,
+           min(cpos) AS region_cpos_l, max(cpos) AS region_cpos_r
+    FROM tok2 GROUP BY 1, 2)""",
+        )
+        + """
+SELECT a.doc_id, a.start, a.text, r.struc_id, r.region_cpos_l AS cpos_left, r.region_cpos_r AS cpos_right
+FROM aligned a JOIN regions r
+  ON a.doc_id = r.doc_id AND a.cpos_left BETWEEN r.region_cpos_l AND r.region_cpos_r"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+def _in_list(items: list[str]) -> str:
+    return ", ".join(f"'{i}'" for i in items)
+
+
+def q_lang_id() -> str:
+    counts = ",\n    ".join(
+        rf"len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ({_in_list(ms)}))) AS c_{lang}"
+        for lang, ms in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN c_{lang} = m THEN '{lang}'" for lang in langs)
+    return f"""WITH c AS (SELECT doc_id,
+    {counts}
+  FROM documents),
+  mm AS (SELECT *, {m} AS m FROM c)
+SELECT doc_id, CASE WHEN m = 0 THEN 'und' {case} ELSE 'und' END AS lang_pred FROM mm"""
+
+
+def q_quality() -> str:
+    stop = _in_list(EN_STOPWORDS)
+    return rf"""WITH q AS (SELECT doc_id,
+    len(string_split_regex(text, '\s+'))::DOUBLE AS n,
+    len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ({stop})))::DOUBLE AS n_stop,
+    length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g'))::DOUBLE AS n_punct,
+    length(text)::DOUBLE AS n_chars
+  FROM documents)
+SELECT doc_id, round(
+    0.4 * least(1.0, n / 100.0)
+  + 0.3 * (CASE WHEN n > 0 THEN n_stop / n ELSE 0 END)
+  + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END), 6) AS quality
+FROM q"""
+
+
+def q_token_counts() -> str:
+    return rf"""SELECT doc_id,
+  len(string_split_regex(text, '\s+')) AS n_ws,
+  len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe
+FROM documents"""
+
+
+def q_fingerprint() -> str:
+    return r"SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# dedup
+def q_dedup_exact() -> str:
+    return r"""WITH fp AS (
+  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint FROM documents),
+  rep AS (SELECT fingerprint, min(doc_id) AS rep_id FROM fp GROUP BY 1)
+SELECT f.doc_id, f.fingerprint, r.rep_id, f.doc_id <> r.rep_id AS is_dup
+FROM fp f JOIN rep r USING (fingerprint)"""
+
+
+def _minhash_sql(k: int, char_mode: bool, shingle_n: int) -> str:
+    if char_mode:
+        shingles = (
+            f"list_distinct(list_transform(generate_series(1, greatest(length(lower(text)) - {shingle_n - 1}, 0)),"
+            f" i -> substr(lower(text), i, {shingle_n})))"
+        )
+        base = f"SELECT doc_id, {shingles} AS shingles FROM documents"
+    else:
+        parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(shingle_n))
+        base = rf"""SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(toks) - {shingle_n - 1}, 0)), i -> {parts})) AS shingles
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)"""
+    sigs = ", ".join(
+        f"list_min(list_transform(shingles, s -> cast('0x' || substr(md5('{j}:' || s), 1, 8) AS BIGINT)))"
+        for j in range(k)
+    )
+    return f"""sh AS (SELECT * FROM ({base}) WHERE len(shingles) > 0),
+  sig AS (SELECT doc_id, shingles, [{sigs}] AS sig FROM sh)"""
+
+
+def _band_sql(bands: int, rows_per_band: int) -> str:
+    unions = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '-' || ".join(
+                f"sig[{b * rows_per_band + r + 1}]::VARCHAR" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""band AS (
+    {unions}),
+  cand_pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+
+
+def q_dedup_minhash(k: int = 16, bands: int = 4, threshold: float = 0.5,
+                    char_mode: bool = False, shingle_n: int = 3) -> str:
+    return (
+        "WITH "
+        + _minhash_sql(k, char_mode, shingle_n)
+        + ",\n  "
+        + _band_sql(bands, k // bands)
+        + f"""
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT p.doc_a, p.doc_b,
+    round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+  FROM cand_pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id)
+WHERE jaccard >= {threshold}"""
+    )
+
+
+def q_dedup_simhash(bits: int = 16, max_hamming: int = 2) -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    assemble = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    half = bits // 2
+    return rf"""WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents),
+  th AS (SELECT doc_id, cast('0x' || substr(md5(t), 1, 4) AS BIGINT) AS h FROM tok),
+  bs AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id),
+  sh AS (SELECT doc_id, {assemble} AS simhash FROM bs),
+  band AS (
+    SELECT doc_id, simhash, 0 AS band_id, simhash % {1 << half} AS band_key FROM sh
+    UNION ALL
+    SELECT doc_id, simhash, 1 AS band_id, simhash // {1 << half} AS band_key FROM sh),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS h_a, b.simhash AS h_b
+    FROM band a JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(h_a, h_b)) AS hamming
+FROM pairs WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+COS = (
+    "round(list_dot_product(a_, b_) / (sqrt(list_dot_product(a_, a_)) * sqrt(list_dot_product(b_, b_))), 6)"
+)
+
+
+def q_embed_neardup(threshold: float = 0.4) -> str:
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_a, vec_b, sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+WHERE sim >= {threshold}"""
+
+
+def q_embed_topk(query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+  sims AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      round(list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+    FROM q JOIN e ON e.vec_id <> q.query_id),
+  ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# events / star schema
+def q_sessionize(gap_minutes: int = 30) -> str:
+    return f"""WITH s0 AS (
+    SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+  s1 AS (SELECT *,
+      CASE WHEN prev_ts IS NULL
+                OR (cast(floor(epoch(ts)) AS BIGINT) - cast(floor(epoch(prev_ts)) AS BIGINT)) > {gap_minutes * 60}
+           THEN 1 ELSE 0 END AS is_new
+    FROM s0),
+  s2 AS (SELECT *,
+      sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_n
+    FROM s1)
+SELECT user_id, user_id::VARCHAR || '-' || sess_n::VARCHAR AS session_id,
+  count(*) AS n_events,
+  min(cast(floor(epoch(ts)) AS BIGINT)) AS session_start,
+  max(cast(floor(epoch(ts)) AS BIGINT)) AS session_end,
+  round(sum(value), 6) AS total_value
+FROM s2 GROUP BY user_id, sess_n"""
+
+
+def q_tpch_pricing() -> str:
+    return """SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  cast(sum(cast(l_extendedprice AS DECIMAL(18,4)) * cast(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_nation_revenue() -> str:
+    return """SELECT n.n_name,
+  cast(sum(cast(l.l_extendedprice AS DECIMAL(18,4)) * cast(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
+
+
+def q_latest_order() -> str:
+    return """SELECT o_custkey, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders) WHERE rn = 1"""

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force top-k neighbors for a (small) query set —
+  broadcast the queries, one narrow pass over the corpus, per-query window
+  top-k. The dot product stays JVM-side via ``aggregate(zip_with(...))``.
+- ``hyperplane_lsh_topk``: the scale path — deterministic seeded random
+  hyperplanes bucket the corpus (sign sketch); queries probe only their own
+  bucket (plus optional 1-bit-flip neighbors), turning the cross join into
+  an equi-join. Recall < 1 by construction; the brute-force operator is the
+  correctness baseline.
+- ``embedding_near_duplicates``: corpus self-pairs above a cosine threshold
+  via the same sketch buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (self excluded).
+
+    Output: (query_id, neighbor_id, rank, sim). sim rounded to 6 decimals;
+    rank ties break on neighbor_id for determinism.
+    """
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    ).crossJoin(F.broadcast(q))
+    sims = joined.filter(F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "sim", F.round(cosine(F.col("qvec"), F.col("nvec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).round(6).tolist()
+
+
+def sketch_expr(vec_col, planes: list[list[float]]):
+    """Sign sketch: integer bucket id from hyperplane sides."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(v)) for v in plane])
+        bucket = bucket + F.when(_dot(vec_col, arr) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def hyperplane_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's own sketch bucket."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sk = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        sketch_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = sk.filter(F.col("neighbor_id").isin(query_ids)).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("nvec").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    joined = sk.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn("sim", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs with cosine >= threshold. exact=True does the O(n^2) join
+    (the oracle-checkable baseline); default probes sketch buckets."""
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    if not exact:
+        planes = _hyperplanes(dim, n_planes, seed)
+        base = base.withColumn("bucket", sketch_expr(F.col("vec"), planes))
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.vid") < F.col("b.vid")
+    if not exact:
+        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    return (
+        a.join(b, cond)
+        .withColumn("sim", F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            "sim",
+        )
+    )

@@ -1,0 +1,145 @@
+"""Unit tests for textops / dedup / similarity / align / streaming /
+multimodal operators."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kgspark import textops
+from kgspark.align import align_mentions, drop_inexact, token_table
+from kgspark.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash,
+    simhash_near_duplicates,
+)
+from kgspark.multimodal import extract_features, sample_video_frames, synth_media
+from kgspark.similarity import cosine_topk, embedding_near_duplicates
+from kgspark.streaming import sessionize
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_lang_id(spark):
+    df = docs(spark, [
+        (1, "the cat sat on the mat and the dog"),
+        (2, "der hund und die katze und das haus"),
+        (3, "xyz qqq zzz"),
+    ]).select("doc_id", textops.lang_id(F.col("text")).alias("lang"))
+    got = {r["doc_id"]: r["lang"] for r in df.collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_and_counts(spark):
+    df = docs(spark, [(1, "the quick fox. 123 go!")]).select(
+        textops.token_count(F.col("text")).alias("n_ws"),
+        textops.bpe_token_count(F.col("text")).alias("n_bpe"),
+        textops.quality_score(F.col("text")).alias("q"),
+    )
+    r = df.collect()[0]
+    assert r["n_ws"] == 5
+    # the|quick|fox|.|123|go|! -> 7 BPE-ish tokens
+    assert r["n_bpe"] == 7
+    assert 0.0 <= r["q"] <= 1.0
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = docs(spark, [(1, "Hello  World"), (2, "hello world"), (3, "other")])
+    fps = [r[0] for r in df.select(textops.fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_exact_duplicates(spark):
+    df = docs(spark, [(1, "same text"), (2, "same text"), (3, "unique")])
+    got = {r["doc_id"]: (r["rep_id"], r["is_dup"]) for r in exact_duplicates(df).collect()}
+    assert got == {1: (1, False), 2: (1, True), 3: (3, False)}
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = docs(spark, [
+        (1, base),
+        (2, base + " lambda"),          # near dup
+        (3, "totally different words here entirely unrelated content now"),
+    ])
+    pairs = minhash_near_duplicates(df, k=16, bands=4, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["jaccard"] > 0.5
+
+
+def test_simhash_identical_and_near(spark):
+    df = docs(spark, [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")])
+    h = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert h[1] == h[2] != h[3]
+    pairs = simhash_near_duplicates(df, max_hamming=0).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(emb, query_ids=[0], k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (3, 1),
+        (1, 2),
+    ]
+
+
+def test_embedding_near_duplicates_exact_vs_lsh(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)] + [(9, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    exact = embedding_near_duplicates(emb, threshold=0.99, exact=True, dim=4).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in exact} == {(0, 9)}
+    lsh = embedding_near_duplicates(emb, threshold=0.99, exact=False, dim=4).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in lsh} <= {(0, 9)}  # recall <= 1
+
+
+def test_align_mentions_token_bounds(spark):
+    d = docs(spark, [(1, "alpha beta gamma")])
+    toks = token_table(d, doc_col="doc_id")
+    m = spark.createDataFrame([(1, 7, "beta"), (1, 1, "alpha beta")], ["doc_id", "start", "text"])
+    got = {r["text"]: (r["cpos_left"], r["cpos_right"], r["covered_words"]) for r in
+           drop_inexact(align_mentions(m, toks)).collect()}
+    assert got["beta"] == (2, 2, "beta")
+    assert got["alpha beta"] == (1, 2, "alpha|beta")
+
+
+def test_sessionize_gap_rule(spark):
+    pdf = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime(["2026-01-01 00:00", "2026-01-01 00:10", "2026-01-01 01:00", "2026-01-01 01:05"]),
+        "user_id": [7, 7, 7, 7],
+        "value": [1.0, 2.0, 3.0, 4.0],
+    })
+    ev = spark.createDataFrame(pdf)
+    got = [r["session_id"] for r in sessionize(ev).orderBy("ts").collect()]
+    assert got == ["7-1", "7-1", "7-2", "7-2"]
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, n=12)
+    feats = extract_features(media, decode_mode="fake")
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # determinism
+    again = extract_features(media, decode_mode="fake").collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+    frames = sample_video_frames(media, every_ms=10000).collect()
+    assert all(r["frame_ts_ms"] % 10000 == 0 for r in frames)
+
+
+def test_multimodal_real_decode_raises(spark):
+    import pytest as _pt
+
+    media = synth_media(spark, n=3)
+    with _pt.raises(Exception) as exc_info:
+        extract_features(media, decode_mode="real").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
