@@ -37,6 +37,7 @@ from kgspark.multimodal import extract_features, sample_video_frames, synth_medi
 from kgspark.overlaps import OVL_FLAGS, categorize_overlap, detect_overlap, resolve_overlap
 from kgspark.segment import segment_documents, stitch_filter
 from kgspark.similarity import cosine_topk, embedding_near_duplicates, hyperplane_lsh_topk
+from kgspark.sources import from_tei, from_token_table, highlight_view, lookup
 from kgspark.spot import spot_documents, spot_segments
 from kgspark.streaming import sessionize
 from kgspark import textops
@@ -332,6 +333,36 @@ def q_latest_order(spark, sf_dir):
     )
 
 
+def q_token_decode(spark, sf_dir):
+    """S3: rebuild text from the token table minus a stoplist."""
+    toks = token_table(_docs(spark, sf_dir), doc_col="doc_id")
+    return from_token_table(toks, stoplist=["the", "a"])
+
+
+def q_highlight(spark, sf_dir):
+    """K3: presentation colors per mapped category."""
+    typed = entity_types_map(_linked(spark, sf_dir), oracles.TYPE_MAPPING)
+    return highlight_view(typed).select("doc_id", "start", "text", "category", "color")
+
+
+def q_lexicon_lookup(spark, sf_dir):
+    """S9: keyword -> candidate URIs ranked by support."""
+    return lookup(synth.lexicon_df(spark), "join", max_results=5)
+
+
+def q_tei_roundtrip(spark, sf_dir):
+    """S6: TEI token extraction + text reconstruction (rows-only)."""
+    docs = _docs(spark, sf_dir).limit(50)
+    tei = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('<s>', array_join(transform(split(text, ' '), "
+            "(w, i) -> concat('<w xml:id=\"t', cast(i as string), '\">', w, '</w>')), ''), '</s>')"
+        ).alias("xml"),
+    )
+    return from_tei(tei).select("doc_id", "text")
+
+
 # rows-only operators (no SQL-expressible oracle; driver records row counts)
 def q_ann_lsh(spark, sf_dir):
     return hyperplane_lsh_topk(
@@ -386,6 +417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": q_tpch_pricing,
         "nation_revenue": q_nation_revenue,
         "latest_order": q_latest_order,
+        "token_decode": q_token_decode,
+        "highlight_view": q_highlight,
+        "lexicon_lookup": q_lexicon_lookup,
+        "tei_roundtrip": q_tei_roundtrip,
         "ann_lsh_bucketed": q_ann_lsh,
         "media_features": q_media_features,
         "video_frame_sample": q_video_frames,
@@ -427,5 +462,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_pricing": oracles.q_tpch_pricing(),
         "nation_revenue": oracles.q_nation_revenue(),
         "latest_order": oracles.q_latest_order(),
+        "token_decode": oracles.q_token_decode(),
+        "highlight_view": oracles.q_highlight(),
+        "lexicon_lookup": oracles.q_lexicon_lookup("join", 5),
         # ann_lsh_bucketed / media_features / video_frame_sample: rows-only
     }

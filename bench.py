@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...},
+"sf": ...}. The headline metric is the end-to-end KG pipeline
+(ingest -> extract -> segment -> spot -> link -> overlaps -> canonicalize ->
+triples) over an input_hint-shaped corpus synthesized at a size matched to
+the star-schema sf; per-operator timings ride in "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> int:
+    """Fully materialize a DataFrame (noop sink computes all columns)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("KGSPARK_BENCH_DOCS", "6000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from kgspark.session import get_spark
+    from kgspark import synth
+    from kgspark.pipeline import PipelineConfig, run_pipeline
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="kgspark-bench",
+        shuffle_partitions=max(2 * cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- headline: end-to-end KG construction on input_hint-shaped corpus ---
+    corpus = synth.synth_documents(spark, n_docs=n_docs).repartition(max(2 * cpus, 16))
+    corpus = corpus.cache()
+    corpus.count()  # exclude synthesis + partitioning from the measurement
+    lex = synth.lexicon_df(spark)
+    rd, sa = synth.redirects_df(spark), synth.sameas_df(spark)
+
+    t0 = time.time()
+    out = run_pipeline(
+        spark, corpus, lex, rd, sa, PipelineConfig(max_len=7990, overlap=500)
+    )
+    _force(out["triples"])
+    pipeline_sec = time.time() - t0
+    timings["kg_pipeline_e2e"] = round(pipeline_sec, 3)
+
+    # --- per-operator headline queries on the driver star schema ---
+    qs = entrymod.queries()
+    for name in [
+        "spot_mentions",
+        "disambiguate_top1",
+        "resolve_overlap",
+        "triples",
+        "align_tokens",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "embed_cosine_topk",
+        "events_sessionize",
+        "tpch_pricing",
+        "nation_revenue",
+    ]:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (kg_pipeline_e2e is ingest->triples "
+                f"over {n_docs} input_hint-shaped docs; rest on {sf_dir})",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "docs_per_sec": round(n_docs / pipeline_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -15,12 +15,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def close_redirects(redirects: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Transitive closure (src -> final dst) by path doubling.
+def close_redirects(
+    redirects: DataFrame, max_iter: int = 20, local_threshold: int = 5_000_000
+) -> DataFrame:
+    """Transitive closure (src -> final dst) of the redirect relation.
 
-    log2(longest chain) join rounds on the dimension table; each round
-    rewrites dst by one more level. Runs offline when the dim is refreshed.
+    The redirect dim is broadcast-sized by definition (it must fit every
+    executor), so the default path collects it and runs the fixpoint on the
+    driver — one tiny job instead of log(chain) join+count jobs per
+    pipeline run. Dims too big to collect fall back to distributed path
+    doubling (log2(longest chain) self-join rounds, run offline when the
+    dim is refreshed).
     """
+    approx = redirects.limit(local_threshold).count()
+    if approx < local_threshold:
+        edges = {r["src_uri"]: r["dst_uri"] for r in redirects.collect()}
+        closed = {}
+        for src in edges:
+            dst, hops = edges[src], 0
+            while dst in edges and hops < max_iter:
+                dst, hops = edges[dst], hops + 1
+            closed[src] = dst
+        return redirects.sparkSession.createDataFrame(
+            list(closed.items()), "src_uri string, dst_uri string"
+        )
     closed = redirects.select("src_uri", "dst_uri")
     for _ in range(max_iter):
         nxt = closed.alias("a").join(

@@ -44,15 +44,22 @@ def _hash64_expr(s):
 
 
 def word_shingles(text_col, n: int = 3):
-    """Distinct n-word shingles (expression, 1-based element_at)."""
+    """Distinct n-word shingles.
+
+    Built with zip_with over shifted slices, NOT index lambdas: a lambda
+    body that references the outer token array (``element_at(split(...),
+    i)``) re-evaluates the split per element in Spark's interpreted
+    higher-order functions — quadratic in document length. zip_with/slice
+    evaluate their array children exactly once per row.
+    """
     toks = tokens(text_col)
+    sh = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    # zip_with pads the tail with nulls -> partial shingles; cut them off.
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        )
+        F.slice(sh, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     )
 
 
@@ -66,17 +73,27 @@ def char_ngrams(text_col, n: int = 3):
     )
 
 
-def minhash_signature(shingles_col, k: int = 16):
-    """k min-hashes as an array column — computed without explode."""
+# Universal-hash MinHash (one md5 per shingle + k linear permutations over a
+# 32-bit prime field) — the standard trick that makes k-wise signatures k
+# integer ops instead of k cryptographic hashes per shingle. Constants are
+# mirrored verbatim in the DuckDB oracle.
+MINHASH_P = 4294967311  # prime > 2^32; a*h + b stays < 2^38, no overflow
+
+
+def minhash_perms(k: int) -> list[tuple[int, int]]:
+    return [(2 * j + 3, (j * 2654435761) % MINHASH_P) for j in range(k)]
+
+
+def _perm_fn(a: int, b: int):
+    return lambda h: (h * a + b) % MINHASH_P
+
+
+def minhash_signature(hash_col, k: int = 16):
+    """k min-hashes from a pre-hashed shingle array — no explode."""
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles_col,
-                    lambda sh, j=j: _hash64_expr(F.concat(F.lit(f"{j}:"), sh)),
-                )
-            )
-            for j in range(k)
+            F.array_min(F.transform(hash_col, _perm_fn(a, b)))
+            for a, b in minhash_perms(k)
         ]
     )
 
@@ -88,16 +105,28 @@ def minhash_docs(
     k: int = 16,
     shingle_words: int = 3,
     char_mode: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
+    """(doc_id, shingles, sig).
+
+    ``persist=True`` materializes the md5-hashed shingles before the k
+    permutations — Catalyst's projection collapse would otherwise inline
+    the md5 into every permutation lambda and hash each shingle k times.
+    """
     sh = (
         char_ngrams(F.col(text_col), shingle_words)
         if char_mode
         else word_shingles(F.col(text_col), shingle_words)
     )
-    return (
+    hashed = (
         df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .withColumn("sig", minhash_signature(F.col("shingles"), k))
+        .withColumn("sh_hash", F.transform(F.col("shingles"), _hash64_expr))
+    )
+    if persist:
+        hashed = hashed.persist()
+    return hashed.withColumn("sig", minhash_signature(F.col("sh_hash"), k)).drop(
+        "sh_hash"
     )
 
 

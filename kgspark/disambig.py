@@ -70,18 +70,27 @@ def generate_candidates(
 
 def disambiguate(
     candidates: DataFrame,
-    doc_tokens_df: DataFrame,
+    doc_tokens_df: DataFrame | None = None,
     confidence: float = 0.35,
     types: list[str] | None = None,
 ) -> DataFrame:
     """D4 + D5 + D6: context scoring, confidence filter, top-1 per mention.
 
+    If ``candidates`` already carries a ``doc_tokens`` column (narrow carry
+    from the spot stage — preferred: mentions derive from documents through
+    narrow ops, so attaching the tokens there avoids re-shuffling the
+    documents side), the doc join is skipped entirely.
+
     Returns the annotation-table IR (R/dbpedia.R:447-453) with nested
     ``types`` map plus the per-KB pivots DBpedia_type / Wikidata_type
     (P4/P5, R/dbpedia.R:560-600).
     """
+    if "doc_tokens" in candidates.columns:
+        joined = candidates
+    else:
+        joined = candidates.join(doc_tokens_df, "doc_id")
     scored = (
-        candidates.join(doc_tokens_df, "doc_id")
+        joined
         .withColumn(
             "ctx_overlap",
             F.size(F.array_intersect(F.col("doc_tokens"), F.col("ctx_arr"))),
@@ -91,22 +100,26 @@ def disambiguate(
         )
         .drop("doc_tokens")
     )
-    mention_w = Window.partitionBy("doc_id", "start", "text")
-    ranked = (
-        scored.withColumn("score_sum", F.sum("score").over(mention_w))
-        .withColumn("conf", F.col("score") / F.col("score_sum"))
-        .withColumn(
-            "rank",
-            F.row_number().over(mention_w.orderBy(F.desc("score"), F.asc("uri"))),
-        )
+    # top-1 per mention as a hash aggregation, NOT a sort window: min_by over
+    # the struct (-score, uri) picks max score with min-uri tiebreak, gets
+    # map-side partial aggregation, and never materializes a per-mention
+    # sort — the difference between one combine-friendly shuffle and a full
+    # range sort at 10^12-doc scale.
+    payload = F.struct("uri", "dbpedia_types", "wikidata_types", "score")
+    order_key = F.struct((-F.col("score")).alias("s"), F.col("uri").alias("u"))
+    grouped = scored.groupBy("doc_id", "start", "text").agg(
+        F.min_by(payload, order_key).alias("best"),
+        F.sum("score").alias("score_sum"),
     )
-    out = ranked.filter((F.col("rank") == 1) & (F.col("conf") >= F.lit(confidence)))
+    out = grouped.filter(
+        (F.col("best.score") / F.col("score_sum")) >= F.lit(confidence)
+    )
     if types:
         # D6: keep only entities carrying one of the wanted DBpedia types
         # (R/dbpedia.R:479-482).
         out = out.filter(
             F.arrays_overlap(
-                F.coalesce(F.col("dbpedia_types"), F.array()),
+                F.coalesce(F.col("best.dbpedia_types"), F.array()),
                 F.array(*[F.lit(t) for t in types]),
             )
         )
@@ -114,13 +127,13 @@ def disambiguate(
         "doc_id",
         "start",
         "text",
-        F.col("uri").alias("dbpedia_uri"),
+        F.col("best.uri").alias("dbpedia_uri"),
         F.create_map(
-            F.lit("DBpedia"), F.col("dbpedia_types"),
-            F.lit("Wikidata"), F.col("wikidata_types"),
+            F.lit("DBpedia"), F.col("best.dbpedia_types"),
+            F.lit("Wikidata"), F.col("best.wikidata_types"),
         ).alias("types"),
-        _pivot_types("dbpedia_types").alias("DBpedia_type"),
-        _pivot_types("wikidata_types").alias("Wikidata_type"),
+        _pivot_types("best.dbpedia_types").alias("DBpedia_type"),
+        _pivot_types("best.wikidata_types").alias("Wikidata_type"),
     )
 
 
@@ -146,5 +159,9 @@ def link_mentions(
 ) -> DataFrame:
     """spot output -> linked annotation table (the composed D2-D6 path)."""
     cands = generate_candidates(spots, lexicon, min_support=min_support)
-    toks = doc_tokens(docs, doc_col=doc_col, text_col=text_col)
+    toks = (
+        None
+        if "doc_tokens" in spots.columns
+        else doc_tokens(docs, doc_col=doc_col, text_col=text_col)
+    )
     return disambiguate(cands, toks, confidence=confidence, types=types)

@@ -35,15 +35,20 @@ class StageRunner:
         name: str,
         fn: Callable[[], DataFrame],
         version: str = "v1",
+        cache: bool = False,
     ) -> DataFrame:
         """Execute (or resume) one stage.
 
         Without a checkpoint root the stage stays lazy (pure plan
-        composition). With one, the stage output is materialized to
-        ``<root>/<name>`` and described in ``_kg_manifest.json``.
+        composition) — except ``cache=True`` stages, which persist in
+        memory because multiple downstream consumers would otherwise
+        recompute their lineage. With a checkpoint root, the stage output
+        is materialized to ``<root>/<name>`` and described in
+        ``_kg_manifest.json`` (which also cuts lineage).
         """
         if not self.enabled:
-            return fn()
+            df = fn()
+            return df.persist() if cache else df
         out_dir = os.path.join(self.root, name)
         manifest_path = os.path.join(out_dir, MANIFEST_NAME)
         if os.path.exists(manifest_path):

@@ -455,12 +455,17 @@ def _minhash_sql(k: int, char_mode: bool, shingle_n: int) -> str:
         base = rf"""SELECT doc_id, list_distinct(list_transform(
         generate_series(1, greatest(len(toks) - {shingle_n - 1}, 0)), i -> {parts})) AS shingles
       FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)"""
+    # universal-hash permutations — constants mirror kgspark.dedup.minhash_perms
+    P = 4294967311
+    perms = [(2 * j + 3, (j * 2654435761) % P) for j in range(k)]
     sigs = ", ".join(
-        f"list_min(list_transform(shingles, s -> cast('0x' || substr(md5('{j}:' || s), 1, 8) AS BIGINT)))"
-        for j in range(k)
+        f"list_min(list_transform(sh_hash, h -> (h * {a} + {b}) % {P}))" for a, b in perms
     )
     return f"""sh AS (SELECT * FROM ({base}) WHERE len(shingles) > 0),
-  sig AS (SELECT doc_id, shingles, [{sigs}] AS sig FROM sh)"""
+  hsh AS (SELECT doc_id, shingles,
+      list_transform(shingles, s -> cast('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS sh_hash
+    FROM sh),
+  sig AS (SELECT doc_id, shingles, [{sigs}] AS sig FROM hsh)"""
 
 
 def _band_sql(bands: int, rows_per_band: int) -> str:
@@ -593,3 +598,38 @@ def q_latest_order() -> str:
   SELECT o_custkey, o_orderkey,
     row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
   FROM orders) WHERE rn = 1"""
+
+
+def q_token_decode(stoplist: tuple[str, ...] = ("the", "a")) -> str:
+    stop = _in_list(list(stoplist))
+    return (
+        "WITH "
+        + token_cte()
+        + f"""
+SELECT doc_id,
+  array_to_string(list(word ORDER BY cpos) FILTER (WHERE word NOT IN ({stop})), ' ') AS text
+FROM tok2 GROUP BY doc_id"""
+    )
+
+
+def q_highlight() -> str:
+    return (
+        _kg_chain(lex_cte(), spots_cte(), cands_cte(), linked_cte())
+        + f"""
+SELECT doc_id, start, text, category,
+  CASE category WHEN 'PERSON' THEN 'yellow' WHEN 'LOCATION' THEN 'lightgreen'
+       WHEN 'ORGANIZATION' THEN 'lightskyblue' WHEN 'MISC' THEN 'lightgrey'
+       ELSE 'lavender' END AS color
+FROM (SELECT doc_id, start, text, {category_sql()} AS category FROM linked)"""
+    )
+
+
+def q_lexicon_lookup(query: str = "join", max_results: int = 5) -> str:
+    return (
+        "WITH "
+        + lex_cte()
+        + f"""
+SELECT sf AS surface_form, uri, support FROM lex
+WHERE contains(lower(sf), '{query.lower()}')
+ORDER BY support DESC, uri LIMIT {max_results}"""
+    )

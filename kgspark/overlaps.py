@@ -180,7 +180,10 @@ def categorize_overlap(
     x = x.drop(*[c for c in helper if c in x.columns])
     if not keep_type_col:
         x = x.drop("ovl_type")
-    return x.orderBy(*part, start_col)
+    # the reference sorts for presentation (R/overlaps.R:391-395); a global
+    # range-partition sort mid-pipeline is wasted shuffle — results are
+    # order-insensitive, callers sort at the edge if needed.
+    return x
 
 
 def _synthesize_inner_outer(

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kgspark import canonicalize as canon
 from kgspark import disambig, entity_types, overlaps, segment, spot, triples
@@ -65,20 +65,34 @@ def run_pipeline(
     surface_forms = [r["surface_form"] for r in lexicon.select("surface_form").distinct().collect()]
     automaton_bc = spark.sparkContext.broadcast(build_automaton(surface_forms))
 
+    # cache=True: docs feed both the segment->spot path and the
+    # doc-token context join — without it the extract UDF runs twice.
     docs = runner.run(
         "extract",
         lambda: extract_text(documents) if cfg.use_html else documents,
+        cache=True,
     )
 
+    # doc_tokens ride along from here (narrow carry): the disambiguation
+    # context join would otherwise re-shuffle the documents side.
     segs = runner.run(
         "segment",
-        lambda: segment.segment_documents(docs, max_len=cfg.max_len, overlap=cfg.overlap),
+        lambda: segment.segment_documents(
+            docs, max_len=cfg.max_len, overlap=cfg.overlap
+        ).withColumn(
+            "doc_tokens", F.array_distinct(F.split(F.col("text"), r"\s+"))
+        ),
     )
 
     spots = runner.run(
         "spot",
         lambda: segment.stitch_filter(
-            spot.spot_segments(segs, automaton_bc, doc_col=doc_col)
+            spot.spot_segments(
+                segs,
+                automaton_bc,
+                doc_col=doc_col,
+                keep_extra=("keep_from", "keep_to", "doc_tokens"),
+            )
         ),
     )
 

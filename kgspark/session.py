@@ -26,6 +26,8 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local-mode driver hosts all executor threads; default 1g thrashes GC
+        .config("spark.driver.memory", os.environ.get("KGSPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -37,6 +39,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill dir: a sandbox local[N] run bottlenecks on /tmp disk
+    # bandwidth long before 32 threads saturate CPU; cluster nodes would
+    # have NVMe arrays. KGSPARK_LOCAL_DIR=/dev/shm/... restores the
+    # CPU-bound regime for scaling measurements.
+    local_dir = os.environ.get("KGSPARK_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,0 +1,231 @@
+"""Input adapters and writeback sinks beyond the parquet/Iceberg scan.
+
+Reference operator coverage (SURVEY §2.1):
+- S3  CWB-subcorpus decode -> ``from_token_table``: rebuild document text
+  from an indexed token table, dropping per-language stopwords/punctuation
+  from the decodable stream (R/dbpedia.R:798-811).
+- S4/S5 bundle/corpus sources: collections of documents are just rows of
+  the documents DataFrame — the reference's sequential per-doc lapply
+  (R/dbpedia.R:954-1021) IS the data parallelism here; no adapter needed.
+- S6  XML/TEI source -> ``from_tei``: extract <w>/<pc> token tags with
+  @id/@join, reconstruct the text with whitespace rules, compute 1-based
+  char offsets by cumulative sum (to_annotation, R/dbpedia.R:159-317).
+  Pure-regex pandas kernel (no lxml in this container; the tag grammar the
+  reference consumes is regular).
+- S9  DBpedia Lookup -> ``lookup``: keyword -> candidate URIs, ranked by
+  support (R/dbpedia.R:1331-1381) — an equi-join against the lexicon
+  instead of a remote XML API.
+- K2  XML enrichment sink -> ``enrich_tei``: write ref attributes back by
+  wrapping annotated token runs in <name> elements (R/xml.R:30-209).
+- K3  highlight view -> ``highlight_view``: per-category display colors
+  (R/utils.R:129-167).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# S3: token table -> documents
+def from_token_table(
+    tokens: DataFrame,
+    stoplist: list[str] | None = None,
+    doc_col: str = "doc_id",
+    cpos_col: str = "cpos",
+    word_col: str = "word",
+) -> DataFrame:
+    """Rebuild (doc_id, text) from an indexed token stream, excluding
+    stoplist tokens (the reference removes stopwords + punctuation before
+    shipping text to the annotator, R/dbpedia.R:807-810)."""
+    t = tokens
+    if stoplist:
+        arr = F.array(*[F.lit(s) for s in stoplist])
+        t = t.filter(~F.array_contains(arr, F.col(word_col)))
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(cpos_col).alias("c"), F.col(word_col).alias("w")))
+        ),
+        lambda r: r["w"],
+    )
+    return t.groupBy(doc_col).agg(F.array_join(ordered, " ").alias("text"))
+
+
+# ---------------------------------------------------------------------------
+# S6: TEI/XML source
+_TOKEN_TAG_RE = re.compile(
+    r"<(?P<tag>w|pc)\b(?P<attrs>[^>]*?)(?:/>|>(?P<body>[^<]*)</(?P=tag)\s*>)",
+    re.S,
+)
+_ATTR_RE = re.compile(r'(\w[\w:.-]*)\s*=\s*"([^"]*)"')
+
+TEI_TOKENS_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("token_id", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("word", T.StringType()),
+            T.StructField("join", T.StringType()),
+            T.StructField("start", T.LongType()),
+            T.StructField("end", T.LongType()),
+            T.StructField("cpos", T.LongType()),
+        ]
+    )
+)
+
+
+def parse_tei_tokens(xml: str) -> list[dict]:
+    """<w>/<pc> extraction + whitespace reconstruction + offset cumsum.
+
+    Mirrors to_annotation: a token is followed by a space unless it (or its
+    successor) carries ``join`` ("right"/"left"/"both") — punctuation
+    attaches to the preceding word (R/dbpedia.R:180-213). Offsets 1-based.
+    """
+    toks = []
+    for m in _TOKEN_TAG_RE.finditer(xml or ""):
+        attrs = dict(_ATTR_RE.findall(m.group("attrs") or ""))
+        word = (m.group("body") or "").strip()
+        toks.append(
+            {
+                "token_id": attrs.get("xml:id") or attrs.get("id"),
+                "tag": m.group("tag"),
+                "word": word,
+                "join": attrs.get("join"),
+            }
+        )
+    out, pos = [], 1
+    for i, t in enumerate(toks):
+        start = pos
+        end = start + len(t["word"]) - 1
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        glue = 0 if (
+            nxt is None
+            or t["join"] in ("right", "both")
+            or (nxt["join"] in ("left", "both"))
+            or nxt["tag"] == "pc"
+        ) else 1
+        pos = end + 1 + glue
+        out.append({**t, "start": start, "end": end, "cpos": i + 1})
+    return out
+
+
+def reconstruct_tei_text(tokens: list[dict]) -> str:
+    buf = []
+    for i, t in enumerate(tokens):
+        buf.append(t["word"])
+        if i + 1 < len(tokens):
+            gap = tokens[i + 1]["start"] - (t["end"] + 1)
+            buf.append(" " * gap)
+    return "".join(buf)
+
+
+def from_tei(df: DataFrame, xml_col: str = "xml", doc_col: str = "doc_id") -> DataFrame:
+    """(doc_id, xml) -> (doc_id, text, tokens array). Narrow pandas kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = [parse_tei_tokens(x) for x in pdf[xml_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[doc_col],
+                    "text": [reconstruct_tei_text(t) for t in toks],
+                    "tokens": toks,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[doc_col].dataType),
+            T.StructField("text", T.StringType()),
+            T.StructField("tokens", TEI_TOKENS_SCHEMA),
+        ]
+    )
+    return df.mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# K2: TEI enrichment sink
+def enrich_tei_document(xml: str, mentions: list[dict], entity_name: str = "name") -> str:
+    """Wrap annotated token-id runs in <name ref=...> elements and merge
+    ref/type attributes with '|' on conflict (R/xml.R:30-209 semantics,
+    regex-based). ``mentions``: dicts with token_ids (list), ref, type."""
+    out = xml
+    for m in sorted(mentions, key=lambda m: -len(m.get("token_ids") or [])):
+        ids = m.get("token_ids") or []
+        if not ids:
+            continue
+        first, last = ids[0], ids[-1]
+        token = r'<(?:w|pc)\b[^>]*(?:xml:)?id="{tid}"[^>]*(?:/>|>[^<]*</(?:w|pc)\s*>)'
+        if first == last:
+            pat = re.compile(f"({token.format(tid=re.escape(first))})", re.S)
+        else:
+            pat = re.compile(
+                rf'(<(?:w|pc)\b[^>]*(?:xml:)?id="{re.escape(first)}".*?'
+                + token.format(tid=re.escape(last))
+                + ")",
+                re.S,
+            )
+        ref = m.get("ref", "")
+        typ = m.get("type")
+        attrs = f' ref="{ref}"' + (f' type="{typ}"' if typ else "")
+        out, n = pat.subn(rf"<{entity_name}{attrs}>\1</{entity_name}>", out, count=1)
+    return out
+
+
+def enrich_tei(
+    df: DataFrame, xml_col: str = "xml", mentions_col: str = "mentions"
+) -> DataFrame:
+    """Per-doc reserialization as a pandas kernel (optional sink)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "xml": [
+                        enrich_tei_document(x, m or [])
+                        for x, m in zip(pdf[xml_col], pdf[mentions_col])
+                    ],
+                }
+            )
+
+    schema = "doc_id string, xml string"
+    return df.mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# S9: lexicon lookup
+def lookup(lexicon: DataFrame, query: str, max_results: int = 5) -> DataFrame:
+    """Keyword -> candidate URIs ranked by support (R/dbpedia.R:1331-1381),
+    as a lexicon scan instead of the remote Lookup API."""
+    return (
+        lexicon.filter(F.lower(F.col("surface_form")).contains(query.lower()))
+        .orderBy(F.desc("support"), F.asc("uri"))
+        .select("surface_form", "uri", "support")
+        .limit(max_results)
+    )
+
+
+# ---------------------------------------------------------------------------
+# K3: highlight view
+HIGHLIGHT_COLORS = {
+    "PERSON": "yellow",
+    "LOCATION": "lightgreen",
+    "ORGANIZATION": "lightskyblue",
+    "MISC": "lightgrey",
+}
+DEFAULT_HIGHLIGHT = "lavender"
+
+
+def highlight_view(mentions: DataFrame, category_col: str = "category") -> DataFrame:
+    """Presentation colors per category (R/utils.R:150-156 mapping)."""
+    expr = None
+    for cat, color in HIGHLIGHT_COLORS.items():
+        cond = F.col(category_col) == cat
+        expr = F.when(cond, color) if expr is None else expr.when(cond, color)
+    return mentions.withColumn("color", expr.otherwise(DEFAULT_HIGHLIGHT))

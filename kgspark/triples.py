@@ -23,34 +23,43 @@ PRED_CATEGORY = "kg:category"
 def mentions_to_triples(m: DataFrame, doc_col: str = "doc_id") -> DataFrame:
     """Canonical mentions -> distinct (subj, pred, obj).
 
-    The distinct is a shuffle on (subj, pred, obj) — the full key, so head
-    subjects alone do not skew it badly, and AQE skew handling covers the
-    rest. Partial aggregation (map-side combine) applies automatically.
+    Single-pass formulation: per mention row, build the array of
+    (pred, obj) pairs and explode once — a union of per-predicate selects
+    would rescan (and recompute) the entire upstream lineage once per
+    branch. The distinct shuffles on the full (subj, pred, obj) key, so
+    head subjects alone do not skew it badly; AQE covers the rest, and
+    partial aggregation (map-side combine) applies automatically.
     """
-    subj = F.col("canonical_uri")
     doc = F.col(doc_col).cast("string")
-    parts = [
-        m.select(subj.alias("subj"), F.lit(PRED_MENTIONED_IN).alias("pred"), doc.alias("obj")),
-        m.select(subj.alias("subj"), F.lit(PRED_ANCHOR_OF).alias("pred"), F.col("text").alias("obj")),
-        m.filter(F.col("types").isNotNull()).select(
-            subj.alias("subj"),
-            F.lit(PRED_TYPE).alias("pred"),
-            F.explode(F.coalesce(F.col("types")["DBpedia"], F.array())).alias("obj"),
-        ).withColumn("obj", F.concat(F.lit("dbo:"), F.col("obj"))),
-        m.filter(F.col("wikidata_uri").isNotNull()).select(
-            subj.alias("subj"), F.lit(PRED_SAME_AS).alias("pred"), F.col("wikidata_uri").alias("obj")
+    pair = lambda p, o: F.struct(p.alias("pred"), o.alias("obj"))
+    empty = F.array().cast("array<struct<pred:string,obj:string>>")
+    pairs = F.concat(
+        F.array(
+            pair(F.lit(PRED_MENTIONED_IN), doc),
+            pair(F.lit(PRED_ANCHOR_OF), F.col("text")),
         ),
-    ]
-    if "category" in m.columns:
-        parts.append(
-            m.filter(F.col("category").isNotNull()).select(
-                subj.alias("subj"), F.lit(PRED_CATEGORY).alias("pred"), F.col("category").alias("obj")
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+        F.transform(
+            F.coalesce(F.col("types")["DBpedia"], F.array().cast("array<string>")),
+            lambda t: pair(F.lit(PRED_TYPE), F.concat(F.lit("dbo:"), t)),
+        ),
+        F.when(
+            F.col("wikidata_uri").isNotNull(),
+            F.array(pair(F.lit(PRED_SAME_AS), F.col("wikidata_uri"))),
+        ).otherwise(empty),
+        (
+            F.when(
+                F.col("category").isNotNull(),
+                F.array(pair(F.lit(PRED_CATEGORY), F.col("category"))),
+            ).otherwise(empty)
+            if "category" in m.columns
+            else empty
+        ),
+    )
+    return (
+        m.select(F.col("canonical_uri").alias("subj"), F.explode(pairs).alias("po"))
+        .select("subj", F.col("po.pred").alias("pred"), F.col("po.obj").alias("obj"))
+        .distinct()
+    )
 
 
 def write_triples(
