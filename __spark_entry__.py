@@ -37,7 +37,7 @@ from kgspark.multimodal import extract_features, sample_video_frames, synth_medi
 from kgspark.overlaps import OVL_FLAGS, categorize_overlap, detect_overlap, resolve_overlap
 from kgspark.segment import segment_documents, stitch_filter
 from kgspark.similarity import cosine_topk, embedding_near_duplicates, hyperplane_lsh_topk
-from kgspark.sources import from_tei, from_token_table, highlight_view, lookup
+from kgspark.sources import from_spotlight_json, from_tei, from_token_table, highlight_view, lookup
 from kgspark.spot import spot_documents, spot_segments
 from kgspark.streaming import sessionize
 from kgspark import textops
@@ -350,6 +350,22 @@ def q_lexicon_lookup(spark, sf_dir):
     return lookup(synth.lexicon_df(spark), "join", max_results=5)
 
 
+def q_spotlight_json(spark, sf_dir):
+    """P1/P2/P4/P5: parse archived Spotlight JSON responses (template
+    shared verbatim with the oracle, built from documents.text)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), r"\s+")
+    j = docs.filter(F.size(toks) >= 2).select(
+        "doc_id", F.expr(oracles.SPOTLIGHT_JSON_TEMPLATE).alias("json")
+    )
+    out = from_spotlight_json(j)
+    return out.select(
+        "doc_id", "start", "text", "dbpedia_uri",
+        F.col("DBpedia_type").alias("dbpedia_type"),
+        F.col("Wikidata_type").alias("wikidata_type"),
+    )
+
+
 def q_tei_roundtrip(spark, sf_dir):
     """S6: TEI token extraction + text reconstruction (rows-only)."""
     docs = _docs(spark, sf_dir).limit(50)
@@ -420,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_decode": q_token_decode,
         "highlight_view": q_highlight,
         "lexicon_lookup": q_lexicon_lookup,
+        "spotlight_json": q_spotlight_json,
         "tei_roundtrip": q_tei_roundtrip,
         "ann_lsh_bucketed": q_ann_lsh,
         "media_features": q_media_features,
@@ -465,5 +482,6 @@ def oracle_sql() -> dict[str, str]:
         "token_decode": oracles.q_token_decode(),
         "highlight_view": oracles.q_highlight(),
         "lexicon_lookup": oracles.q_lexicon_lookup("join", 5),
+        "spotlight_json": oracles.q_spotlight_json(),
         # ann_lsh_bucketed / media_features / video_frame_sample: rows-only
     }

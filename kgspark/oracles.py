@@ -633,3 +633,36 @@ SELECT sf AS surface_form, uri, support FROM lex
 WHERE contains(lower(sf), '{query.lower()}')
 ORDER BY support DESC, uri LIMIT {max_results}"""
     )
+
+
+# JSON template shared verbatim with the Spark side of `spotlight_json`
+SPOTLIGHT_JSON_TEMPLATE = (
+    "'{\"Resources\":[{\"@URI\":\"dbr:First\",\"@surfaceForm\":\"' || split_part(text, ' ', 1) || "
+    "'\",\"@offset\":\"0\",\"@types\":\"DBpedia:Thing,Wikidata:Q35120\"},"
+    "{\"@URI\":\"dbr:Second\",\"@surfaceForm\":\"' || split_part(text, ' ', 2) || "
+    "'\",\"@offset\":\"' || cast(length(split_part(text, ' ', 1)) + 1 AS STRING) || "
+    "'\",\"@types\":\"\"}]}'"
+)
+
+
+def q_spotlight_json() -> str:
+    pivot = (
+        "list_transform(list_filter(string_split(r.\"@types\", ','), "
+        "t -> starts_with(t, '{kb}:')), t -> split_part(t, ':', 2))"
+    )
+    dt, wt = pivot.format(kb="DBpedia"), pivot.format(kb="Wikidata")
+    return f"""WITH j AS (
+    SELECT doc_id, {SPOTLIGHT_JSON_TEMPLATE} AS json FROM documents
+    WHERE len(string_split_regex(text, '\\s+')) >= 2),
+  res AS (
+    SELECT doc_id,
+      unnest(cast(json_extract(json, '$.Resources') AS
+        STRUCT("@URI" VARCHAR, "@surfaceForm" VARCHAR, "@offset" VARCHAR, "@types" VARCHAR)[])) AS r
+    FROM j)
+SELECT doc_id,
+  cast(r."@offset" AS BIGINT) + 1 AS start,
+  r."@surfaceForm" AS text,
+  r."@URI" AS dbpedia_uri,
+  CASE WHEN len({dt}) > 0 THEN '|' || array_to_string({dt}, '|') || '|' END AS dbpedia_type,
+  CASE WHEN len({wt}) > 0 THEN '|' || array_to_string({wt}, '|') || '|' END AS wikidata_type
+FROM res"""

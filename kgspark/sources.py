@@ -229,3 +229,89 @@ def highlight_view(mentions: DataFrame, category_col: str = "category") -> DataF
         cond = F.col(category_col) == cat
         expr = F.when(cond, color) if expr is None else expr.when(cond, color)
     return mentions.withColumn("color", expr.otherwise(DEFAULT_HIGHLIGHT))
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/P4/P5: Spotlight JSON response adapter
+SPOTLIGHT_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "Resources",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("@URI", T.StringType()),
+                        T.StructField("@surfaceForm", T.StringType()),
+                        T.StructField("@offset", T.StringType()),
+                        T.StructField("@types", T.StringType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+SPOTLIGHT_KBS = ("DBpedia", "Wikidata", "Schema", "DUL")
+
+
+def from_spotlight_json(
+    df: DataFrame,
+    json_col: str = "json",
+    doc_col: str = "doc_id",
+    offset: int = 1,
+    types_src: tuple[str, ...] = ("DBpedia", "Wikidata"),
+    types_drop: bool = False,
+) -> DataFrame:
+    """Parse DBpedia-Spotlight annotation JSON into the annotation table.
+
+    Pure-expression implementation of the reference's response handling:
+    projection + rename of @URI/@surfaceForm/@offset/@types
+    (P1, R/dbpedia.R:538-555), 1-based offset rebase (P2, :557), nested
+    per-KB types map (P4, :560-577), pipe-wrapped per-KB pivots
+    (P5, :579-600), optional types drop (P6, :602). Lets reference users
+    replay archived Spotlight responses through this engine.
+    """
+    parsed = df.withColumn("_p", F.from_json(F.col(json_col), SPOTLIGHT_JSON_SCHEMA))
+    res = parsed.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode_outer(F.col("_p.Resources")).alias("_r"),
+    ).filter(F.col("_r").isNotNull())
+    typed = res.select(
+        "doc_id",
+        (F.col("_r").getField("@offset").cast("long") + F.lit(offset)).alias("start"),
+        F.col("_r").getField("@surfaceForm").alias("text"),
+        F.col("_r").getField("@URI").alias("dbpedia_uri"),
+        F.split(F.col("_r").getField("@types"), ",").alias("_types_raw"),
+    )
+    def _kb_filter(kb: str):
+        # NB: a `lambda t, kb=kb` default-arg closure would make Spark treat
+        # the lambda as binary and bind the array INDEX to kb.
+        return lambda t: t.startswith(kb + ":")
+
+    per_kb = {
+        kb: F.transform(
+            F.filter(F.col("_types_raw"), _kb_filter(kb)),
+            lambda t: F.substring_index(t, ":", -1),
+        )
+        for kb in SPOTLIGHT_KBS
+    }
+    types_map = F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(kb) for kb in SPOTLIGHT_KBS]),
+            F.array(*[per_kb[kb] for kb in SPOTLIGHT_KBS]),
+        ),
+        lambda k, v: F.size(v) > 0,
+    )
+    out = typed.withColumn("types", types_map).drop("_types_raw")
+    for kb in types_src:
+        arr = F.col("types").getItem(kb)
+        out = out.withColumn(
+            f"{kb}_type",
+            F.when(
+                arr.isNotNull() & (F.size(arr) > 0),
+                F.concat(F.lit("|"), F.array_join(arr, "|"), F.lit("|")),
+            ),
+        )
+    if types_drop:
+        out = out.drop("types")
+    return out

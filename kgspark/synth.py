@@ -207,6 +207,8 @@ def synth_corpus_pdf(
     seed: int = 42,
     long_doc_every: int = 23,
     long_doc_words: int = 900,
+    min_words: int = 40,
+    max_words: int = 120,
 ) -> pd.DataFrame:
     """Deterministic pandas frame (url, warc_ts, html, text, lang).
 
@@ -224,7 +226,7 @@ def synth_corpus_pdf(
         if i % long_doc_every == 5:
             n_words = long_doc_words
         else:
-            n_words = int(rng.randint(40, 120))
+            n_words = int(rng.randint(min_words, max_words))
         words = [VOCAB[int(k)] for k in rng.randint(0, len(VOCAB), size=n_words)]
         # sprinkle language markers so lang-id has signal
         markers = LANG_MARKERS[lang]
@@ -250,10 +252,12 @@ def synth_corpus_pdf(
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def synth_documents(spark, n_docs: int = 200, seed: int = 42):
+def synth_documents(spark, n_docs: int = 200, seed: int = 42, **kwargs):
     from kgspark.schemas import DOCUMENTS_SCHEMA
 
-    return spark.createDataFrame(synth_corpus_pdf(n_docs=n_docs, seed=seed), DOCUMENTS_SCHEMA)
+    return spark.createDataFrame(
+        synth_corpus_pdf(n_docs=n_docs, seed=seed, **kwargs), DOCUMENTS_SCHEMA
+    )
 
 
 def golden_documents(spark):

@@ -51,7 +51,12 @@ def test_every_query_has_oracle_or_is_flagged():
     assert set(osql) <= set(qs)
     rows_only = set(qs) - set(osql)
     # only genuinely non-SQL-expressible ops may skip the oracle
-    assert rows_only == {"ann_lsh_bucketed", "media_features", "video_frame_sample"}
+    assert rows_only == {
+        "ann_lsh_bucketed",
+        "media_features",
+        "video_frame_sample",
+        "tei_roundtrip",
+    }
 
 
 @pytest.mark.parametrize("name", SUBSET)
