@@ -162,3 +162,17 @@ def test_resolve_exactly_one_row_per_group_invariant(spark):
         .collect()
     )
     assert all(r["count"] == 1 for r in counts)
+
+
+def test_resolve_tiebreak_hash_deterministic(spark):
+    rows = [("d", 1, "abcd", "u1"), ("d", 3, "cdef", "u2")]  # equal lengths
+    df = categorize_overlap(detect_overlap(spark.createDataFrame(rows, COLS)))
+
+    def run():
+        out = resolve_overlap(df, keep=["longest"], tiebreak="hash")
+        return sorted(r["text"] for r in out.collect())
+
+    first = run()
+    assert len(first) == 1  # exactly one survivor
+    for _ in range(3):
+        assert run() == first  # byte-stable across reruns (vs R sample())
