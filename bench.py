@@ -29,8 +29,14 @@ def _force(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("KGSPARK_BENCH_DOCS", "6000"))
+    n_docs = int(os.environ.get("KGSPARK_BENCH_DOCS", "20000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # shuffle on tmpfs when available (single-box disk is not the
+    # production shuffle medium; see BENCH/BASELINE.md caveat)
+    if "KGSPARK_LOCAL_DIR" not in os.environ and os.access("/dev/shm", os.W_OK):
+        os.makedirs("/dev/shm/kgspark-bench", exist_ok=True)
+        os.environ["KGSPARK_LOCAL_DIR"] = "/dev/shm/kgspark-bench"
 
     from kgspark.session import get_spark
     from kgspark import synth
@@ -53,13 +59,18 @@ def main() -> None:
     lex = synth.lexicon_df(spark)
     rd, sa = synth.redirects_df(spark), synth.sameas_df(spark)
 
-    t0 = time.time()
-    out = run_pipeline(
-        spark, corpus, lex, rd, sa, PipelineConfig(max_len=7990, overlap=500)
-    )
-    _force(out["triples"])
-    pipeline_sec = time.time() - t0
+    def pipeline_pass() -> float:
+        t0 = time.time()
+        out = run_pipeline(
+            spark, corpus, lex, rd, sa, PipelineConfig(max_len=7990, overlap=500)
+        )
+        _force(out["triples"])
+        return time.time() - t0
+
+    warm_sec = pipeline_pass()  # python-worker spawn + JIT, reported separately
+    pipeline_sec = pipeline_pass()
     timings["kg_pipeline_e2e"] = round(pipeline_sec, 3)
+    timings["kg_pipeline_cold"] = round(warm_sec, 3)
 
     # --- per-operator headline queries on the driver star schema ---
     qs = entrymod.queries()
