@@ -48,6 +48,8 @@ class PipelineConfig:
     )
     checkpoint_root: str | None = None
     use_html: bool = True          # extract text from html (else trust text col)
+    rebalance_segments: bool = False  # salted shuffle after explode: enable
+                                      # when the crawl has giant documents
 
 
 def run_pipeline(
@@ -78,7 +80,10 @@ def run_pipeline(
     segs = runner.run(
         "segment",
         lambda: segment.segment_documents(
-            docs, max_len=cfg.max_len, overlap=cfg.overlap
+            docs,
+            max_len=cfg.max_len,
+            overlap=cfg.overlap,
+            rebalance=cfg.rebalance_segments,
         ).withColumn(
             "doc_tokens", F.array_distinct(F.split(F.col("text"), r"\s+"))
         ),

@@ -149,18 +149,25 @@ def segment_documents(
     text_col: str = "text",
     max_len: int = 7990,
     overlap: int = 500,
+    rebalance: bool = False,
+    rebalance_partitions: int | None = None,
 ) -> DataFrame:
     """documents -> one row per (doc, segment); large docs fan out.
 
-    Narrow map + explode; Catalyst keeps the scan columnar and AQE can
-    rebalance the post-explode partitions at scale.
+    Narrow map + explode by default. Explode does NOT redistribute: all
+    segments of one document stay in the parent row's task, so a
+    pathological page (hundreds of MB) would serialize one worker.
+    ``rebalance=True`` adds a salted repartition on (doc, seg_off) right
+    after the explode — one extra shuffle of the segment rows, worth it
+    exactly when the crawl contains giant documents (north rule:
+    large-document skew broken explicitly).
     """
 
     @pandas_udf(SEGMENTS_ARRAY)
     def _segment_udf(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: segment_document(t, max_len=max_len, overlap=overlap))
 
-    return (
+    out = (
         df.withColumn("_seg", F.explode(_segment_udf(F.col(text_col))))
         .withColumn("seg_off", F.col("_seg.seg_off"))
         .withColumn("seg_text", F.col("_seg.seg_text"))
@@ -168,6 +175,12 @@ def segment_documents(
         .withColumn("keep_to", F.col("_seg.keep_to"))
         .drop("_seg")
     )
+    if rebalance:
+        n = rebalance_partitions or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        out = out.repartition(n, F.col("seg_off"), F.xxhash64("seg_text"))
+    return out
 
 
 def stitch_filter(spots: DataFrame, start_col: str = "start") -> DataFrame:

@@ -95,3 +95,36 @@ def test_stitch_bounds_partition_the_line():
     assert bounds[-1][3] == 1.0e18
     for (_o1, _s1, kf1, kt1), (_o2, _s2, kf2, kt2) in zip(bounds, bounds[1:]):
         assert kt1 == kf2  # exactly-once: right bound meets next left bound
+
+
+def test_rebalance_spreads_giant_doc_segments():
+    """Large-document skew: with rebalance=True the segments of one giant
+    document spread across many partitions (explode alone keeps them in
+    the parent's task)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    spark_mod = pytest.importorskip("pyspark.sql")
+    from kgspark.session import get_spark
+    from kgspark import segment as segmod, synth
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    big_text = " ".join(synth.VOCAB[i % 30] for i in range(100000))
+    pdf = pd.DataFrame(
+        [("u", dt.datetime(2026, 1, 1), None, big_text, "en")],
+        columns=["url", "warc_ts", "html", "text", "lang"],
+    )
+    docs = spark.createDataFrame(pdf).coalesce(1)
+
+    plain = segmod.segment_documents(docs, max_len=2000, overlap=300)
+    pids = lambda df: {
+        r["pid"]
+        for r in df.withColumn("pid", F.spark_partition_id())
+        .select("pid").distinct().collect()
+    }
+    assert len(pids(plain)) == 1
+    spread = segmod.segment_documents(docs, max_len=2000, overlap=300, rebalance=True)
+    assert len(pids(spread)) > 1
