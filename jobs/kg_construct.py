@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the KG-construction pipeline.
+
+    spark-submit --py-files kgspark.zip jobs/kg_construct.py \
+        --input  <documents parquet/Iceberg path> \
+        --output <triples output path> \
+        --lexicon <lexicon parquet> --redirects <...> --sameas <...> \
+        --checkpoint <resumable stage root> [--rebalance-segments]
+
+On a cluster the session comes from spark-submit's conf (master, executors,
+memory); the builder only fills in analytics defaults (AQE, Arrow). Omitted
+dim paths fall back to the seeded synthetic dims (smoke runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lexicon")
+    ap.add_argument("--redirects")
+    ap.add_argument("--sameas")
+    ap.add_argument("--checkpoint")
+    ap.add_argument("--doc-col", default="url")
+    ap.add_argument("--max-len", type=int, default=7990)
+    ap.add_argument("--overlap", type=int, default=500)
+    ap.add_argument("--confidence", type=float, default=0.35)
+    ap.add_argument("--min-support", type=int, default=20)
+    ap.add_argument("--rebalance-segments", action="store_true")
+    ap.add_argument("--no-html", action="store_true",
+                    help="input already has extracted text")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from kgspark import synth
+    from kgspark.pipeline import PipelineConfig, run_pipeline
+    from kgspark.triples import write_triples
+
+    spark = SparkSession.builder.appName("kgspark-kg-construct").getOrCreate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    docs = spark.read.parquet(args.input)
+    lexicon = (
+        spark.read.parquet(args.lexicon) if args.lexicon else synth.lexicon_df(spark)
+    )
+    redirects = (
+        spark.read.parquet(args.redirects) if args.redirects else synth.redirects_df(spark)
+    )
+    sameas = spark.read.parquet(args.sameas) if args.sameas else synth.sameas_df(spark)
+
+    cfg = PipelineConfig(
+        max_len=args.max_len,
+        overlap=args.overlap,
+        confidence=args.confidence,
+        min_support=args.min_support,
+        checkpoint_root=args.checkpoint,
+        use_html=not args.no_html,
+        rebalance_segments=args.rebalance_segments,
+    )
+    t0 = time.time()
+    out = run_pipeline(spark, docs, lexicon, redirects, sameas, cfg, doc_col=args.doc_col)
+    write_triples(out["triples"], args.output)
+    summary = {
+        "wall_sec": round(time.time() - t0, 1),
+        "triples": spark.read.parquet(args.output).count(),
+        "stages": out["metrics"],
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
