@@ -154,7 +154,10 @@ def q_disambiguate(spark, sf_dir):
 def q_type_filter(spark, sf_dir):
     cands = generate_candidates(_spots(spark, sf_dir), synth.lexicon_df(spark))
     toks = doc_tokens(_docs(spark, sf_dir), doc_col="doc_id")
-    out = disambiguate(cands, toks, confidence=oracles.CONFIDENCE, types=["Software"])
+    out = disambiguate(
+        cands, toks, confidence=oracles.CONFIDENCE, types=["Software"],
+        lexicon=synth.lexicon_df(spark),
+    )
     return out.select("doc_id", "start", "text", "dbpedia_uri")
 
 

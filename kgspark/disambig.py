@@ -48,19 +48,26 @@ def generate_candidates(
     mentions: DataFrame,
     lexicon: DataFrame,
     min_support: int = 20,
+    slim: bool = True,
 ) -> DataFrame:
-    """D2 + D3: equi-join mentions × broadcast lexicon, prominence filter."""
-    lex = F.broadcast(
-        lexicon.select(
-            F.col("surface_form"),
-            F.col("uri"),
-            F.col("prior"),
-            F.col("support"),
-            F.col("dbpedia_types"),
-            F.col("wikidata_types"),
-            F.split(F.col("ctx_tokens"), " ").alias("ctx_arr"),
-        )
-    )
+    """D2 + D3: equi-join mentions × broadcast lexicon, prominence filter.
+
+    ``slim=True`` (default) leaves the type arrays behind: they are
+    re-attached from the broadcast lexicon AFTER top-1 selection
+    (``disambiguate``), so candidate rows stay narrow through the scoring
+    shuffle — at 10^12 docs the per-candidate type arrays would otherwise
+    dominate the shuffle volume.
+    """
+    cols = [
+        F.col("surface_form"),
+        F.col("uri"),
+        F.col("prior"),
+        F.col("support"),
+        F.split(F.col("ctx_tokens"), " ").alias("ctx_arr"),
+    ]
+    if not slim:
+        cols[4:4] = [F.col("dbpedia_types"), F.col("wikidata_types")]
+    lex = F.broadcast(lexicon.select(*cols))
     return (
         mentions.join(lex, mentions["text"] == lex["surface_form"], "inner")
         .filter(F.col("support") >= F.lit(min_support))
@@ -73,6 +80,7 @@ def disambiguate(
     doc_tokens_df: DataFrame | None = None,
     confidence: float = 0.35,
     types: list[str] | None = None,
+    lexicon: DataFrame | None = None,
 ) -> DataFrame:
     """D4 + D5 + D6: context scoring, confidence filter, top-1 per mention.
 
@@ -105,7 +113,13 @@ def disambiguate(
     # map-side partial aggregation, and never materializes a per-mention
     # sort — the difference between one combine-friendly shuffle and a full
     # range sort at 10^12-doc scale.
-    payload = F.struct("uri", "dbpedia_types", "wikidata_types", "score")
+    slim = "dbpedia_types" not in candidates.columns
+    if slim and lexicon is None:
+        raise ValueError("slim candidates need the lexicon to re-attach types")
+    payload_cols = ["uri", "score"] if slim else [
+        "uri", "dbpedia_types", "wikidata_types", "score"
+    ]
+    payload = F.struct(*payload_cols)
     order_key = F.struct((-F.col("score")).alias("s"), F.col("uri").alias("u"))
     grouped = scored.groupBy("doc_id", "start", "text").agg(
         F.min_by(payload, order_key).alias("best"),
@@ -114,12 +128,24 @@ def disambiguate(
     out = grouped.filter(
         (F.col("best.score") / F.col("score_sum")) >= F.lit(confidence)
     )
+    if slim:
+        # re-attach types from the broadcast dim AFTER the winner is chosen:
+        # the scoring shuffle only ever carried (uri, score).
+        types_dim = F.broadcast(
+            lexicon.select("uri", "dbpedia_types", "wikidata_types")
+            .dropDuplicates(["uri"])
+            .withColumnRenamed("uri", "_t_uri")
+        )
+        out = out.join(types_dim, F.col("best.uri") == F.col("_t_uri"), "left").drop("_t_uri")
+        dt, wt = F.col("dbpedia_types"), F.col("wikidata_types")
+    else:
+        dt, wt = F.col("best.dbpedia_types"), F.col("best.wikidata_types")
     if types:
         # D6: keep only entities carrying one of the wanted DBpedia types
         # (R/dbpedia.R:479-482).
         out = out.filter(
             F.arrays_overlap(
-                F.coalesce(F.col("best.dbpedia_types"), F.array()),
+                F.coalesce(dt, F.array()),
                 F.array(*[F.lit(t) for t in types]),
             )
         )
@@ -128,19 +154,16 @@ def disambiguate(
         "start",
         "text",
         F.col("best.uri").alias("dbpedia_uri"),
-        F.create_map(
-            F.lit("DBpedia"), F.col("best.dbpedia_types"),
-            F.lit("Wikidata"), F.col("best.wikidata_types"),
-        ).alias("types"),
-        _pivot_types("best.dbpedia_types").alias("DBpedia_type"),
-        _pivot_types("best.wikidata_types").alias("Wikidata_type"),
+        F.create_map(F.lit("DBpedia"), dt, F.lit("Wikidata"), wt).alias("types"),
+        _pivot_types(dt).alias("DBpedia_type"),
+        _pivot_types(wt).alias("Wikidata_type"),
     )
 
 
-def _pivot_types(col: str):
+def _pivot_types(col):
     """P5 per-KB pipe pivot: ["Place","Location"] -> "|Place|Location|";
     absent/empty -> NULL (R/dbpedia.R:586-597)."""
-    c = F.col(col)
+    c = F.col(col) if isinstance(col, str) else col
     return F.when(
         c.isNotNull() & (F.size(c) > 0),
         F.concat(F.lit("|"), F.array_join(c, "|"), F.lit("|")),
@@ -164,4 +187,6 @@ def link_mentions(
         if "doc_tokens" in spots.columns
         else doc_tokens(docs, doc_col=doc_col, text_col=text_col)
     )
-    return disambiguate(cands, toks, confidence=confidence, types=types)
+    return disambiguate(
+        cands, toks, confidence=confidence, types=types, lexicon=lexicon
+    )

@@ -45,7 +45,8 @@ def test_context_disambiguation_beats_prior_tie(spark):
                            ("d2", "flame ember spark glow")])
     spots = spots_df(spark, [("d1", 22, "spark"), ("d2", 13, "spark")])
     out = disambiguate(
-        generate_candidates(spots, lex(spark)), doc_tokens(docs), confidence=0.3
+        generate_candidates(spots, lex(spark)), doc_tokens(docs), confidence=0.3,
+        lexicon=lex(spark),
     )
     got = {r["doc_id"]: r["dbpedia_uri"] for r in out.collect()}
     assert got == {"d1": "uri:spark_sw", "d2": "uri:spark_fire"}
@@ -56,14 +57,14 @@ def test_confidence_filter_drops_uncertain(spark):
     docs = docs_df(spark, [("d1", "nothing relevant spark here")])
     spots = spots_df(spark, [("d1", 18, "spark")])
     cands = generate_candidates(spots, lex(spark))
-    assert disambiguate(cands, doc_tokens(docs), confidence=0.9).count() == 0
-    assert disambiguate(cands, doc_tokens(docs), confidence=0.35).count() == 1
+    assert disambiguate(cands, doc_tokens(docs), confidence=0.9, lexicon=lex(spark)).count() == 0
+    assert disambiguate(cands, doc_tokens(docs), confidence=0.35, lexicon=lex(spark)).count() == 1
 
 
 def test_prior_wins_without_context(spark):
     docs = docs_df(spark, [("d1", "a table stands")])
     spots = spots_df(spark, [("d1", 3, "table")])
-    out = disambiguate(generate_candidates(spots, lex(spark)), doc_tokens(docs))
+    out = disambiguate(generate_candidates(spots, lex(spark)), doc_tokens(docs), lexicon=lex(spark))
     assert out.collect()[0]["dbpedia_uri"] == "uri:table_db"
 
 
@@ -74,12 +75,14 @@ def test_types_restriction(spark):
         generate_candidates(spots, lex(spark)),
         doc_tokens(docs),
         types=["Artifact"],
+        lexicon=lex(spark),
     )
     assert out.count() == 0  # winner is table_db (Software); Artifact filter drops
     out2 = disambiguate(
         generate_candidates(spots, lex(spark)),
         doc_tokens(docs),
         types=["Software"],
+        lexicon=lex(spark),
     )
     assert out2.count() == 1
 
