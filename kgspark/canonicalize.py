@@ -39,18 +39,27 @@ def close_redirects(
         return redirects.sparkSession.createDataFrame(
             list(closed.items()), "src_uri string, dst_uri string"
         )
-    closed = redirects.select("src_uri", "dst_uri")
-    for _ in range(max_iter):
-        nxt = closed.alias("a").join(
-            closed.alias("b"), F.col("a.dst_uri") == F.col("b.src_uri"), "left"
-        )
-        advanced = nxt.filter(F.col("b.dst_uri").isNotNull())
-        if advanced.limit(1).count() == 0:
-            break
-        closed = nxt.select(
-            F.col("a.src_uri").alias("src_uri"),
-            F.coalesce(F.col("b.dst_uri"), F.col("a.dst_uri")).alias("dst_uri"),
-        )
+    # Distributed path-doubling. Each round is persisted before the
+    # convergence probe — without it the probe's limit(1).count() re-executes
+    # every prior round's join (quadratic recomputation, deep-plan risk).
+    closed = redirects.select("src_uri", "dst_uri").persist()
+    try:
+        for _ in range(max_iter):
+            nxt = closed.alias("a").join(
+                closed.alias("b"), F.col("a.dst_uri") == F.col("b.src_uri"), "left"
+            )
+            advanced = nxt.filter(F.col("b.dst_uri").isNotNull())
+            if advanced.limit(1).count() == 0:
+                break
+            prev = closed
+            closed = nxt.select(
+                F.col("a.src_uri").alias("src_uri"),
+                F.coalesce(F.col("b.dst_uri"), F.col("a.dst_uri")).alias("dst_uri"),
+            ).persist()
+            closed.count()  # materialize before dropping the previous round
+            prev.unpersist()
+    finally:
+        pass
     return closed
 
 
@@ -82,13 +91,15 @@ def canonicalize(
         .join(sa, F.col("canonical_uri") == F.col("_sa_uri"), "left")
         .drop("_sa_uri")
     )
-    # defensive re-derivation of the bare Q-id (R/wikidata.R:120)
+    # defensive re-derivation of the bare Q-id (R/wikidata.R:120).
+    # regexp_extract returns '' (not NULL) on no-match, so nullif() keeps a
+    # sameAs-provided id from being clobbered by a non-Q-shaped URI.
     return out.withColumn(
         "wikidata_id",
-        F.when(
-            F.col("wikidata_uri").isNotNull(),
-            F.regexp_extract(F.col("wikidata_uri"), r"(Q\d+)$", 1),
-        ).otherwise(F.col("wikidata_id")),
+        F.coalesce(
+            F.nullif(F.regexp_extract(F.col("wikidata_uri"), r"(Q\d+)$", 1), F.lit("")),
+            F.col("wikidata_id"),
+        ),
     )
 
 

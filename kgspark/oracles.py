@@ -111,13 +111,16 @@ def categorize_cte(src: str = "detected") -> str:
       len(list_distinct(list(start::VARCHAR || ':' || "end"::VARCHAR) OVER ({w}))) AS n_span,
       coalesce(max("end") OVER ({ws} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= "end", false) AS inner_,
       coalesce(min("end") OVER ({ws} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) <= "end", false) AS outer_,
+      count(*) OVER ({w}, start) > 1 AS start_dup,
       min("end" - start) OVER ({w}) AS min_len,
       max("end" - start) OVER ({w}) AS max_len
     FROM {src}),
   cat1 AS (SELECT *,
       sum(CASE WHEN len_ = min_len THEN 1 ELSE 0 END) OVER ({w}) AS n_min,
       sum(CASE WHEN len_ = max_len THEN 1 ELSE 0 END) OVER ({w}) AS n_max,
-      max(CASE WHEN inner_ THEN 1 ELSE 0 END) OVER ({w}) = 1 AS has_cont
+      -- any within-pair with distinct indexes: an earlier row covering a
+      -- later one (inner_) OR two rows sharing a start (the xid<yid case)
+      max(CASE WHEN inner_ OR start_dup THEN 1 ELSE 0 END) OVER ({w}) = 1 AS has_cont
     FROM cat0),
   categorized AS (SELECT *,
       CASE WHEN ovl_id IS NULL THEN NULL
@@ -142,8 +145,11 @@ FLAG_SELECT = ",\n      ".join(
 
 
 def resolve_cte(keep: tuple[str, ...] = ("longest", "shortest"), src: str = "categorized") -> str:
+    # WHENs in reverse so the LAST matching keep entry wins (reference
+    # parity: the R assignment loop overwrites, R/overlaps.R:569-571)
     keep_case = "CASE " + " ".join(
-        f"WHEN contains(ovl_type, 'ovl_{k}') THEN {i + 1}" for i, k in enumerate(keep)
+        f"WHEN contains(ovl_type, 'ovl_{k}') THEN {i + 1}"
+        for i, k in reversed(list(enumerate(keep)))
     ) + " END"
     return f"""res0 AS (SELECT *, CASE WHEN ovl_id IS NULL THEN NULL ELSE {keep_case} END AS keepv FROM {src}),
   res1 AS (SELECT *,

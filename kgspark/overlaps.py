@@ -101,11 +101,17 @@ def categorize_overlap(
 ) -> DataFrame:
     """Adds the eight boolean ``ovl_*`` columns (R/overlaps.R:296-398).
 
-    Containment is detected with two windows instead of the reference's
+    Containment is detected with windows instead of the reference's
     ``foverlaps(type="within")`` (R/overlaps.R:421-424): within a group
     sorted by (start, end), row i is *inner* iff some earlier row's end
     covers it, and *outer* iff some later row's end fits inside it — exactly
-    the reference's xid>yid / xid<yid index tests.
+    the reference's xid>yid index tests for the per-row labels. The
+    group-level "any containment at all" test must additionally cover
+    within-pairs with xid<yid: in (start, end) order those are exactly
+    pairs sharing a start (the earlier row is inside the later one), e.g.
+    'Washington'[1,11] ⊂ 'Washington D.C.'[1,16]. The reference counts
+    them in its ``all(xid==yid)`` partial test (R/overlaps.R:421-439) and
+    labels such groups shortest/longest, not partial.
     """
     part = [doc_col] if doc_col else []
     grp = Window.partitionBy(*part, "ovl_id")
@@ -138,7 +144,14 @@ def categorize_overlap(
         .withColumn(
             "_n_max", F.sum((length == F.col("_max_len")).cast("int")).over(grp)
         )
-        .withColumn("_has_containment", F.max(F.col("_inner").cast("int")).over(grp) == 1)
+        .withColumn(
+            "_start_dup",
+            F.count(F.lit(1)).over(Window.partitionBy(*part, "ovl_id", start_col)) > 1,
+        )
+        .withColumn(
+            "_has_containment",
+            F.max((F.col("_inner") | F.col("_start_dup")).cast("int")).over(grp) == 1,
+        )
     )
 
     # last-assignment-wins chain (R/overlaps.R:444-477): longest > shortest >
@@ -176,7 +189,7 @@ def categorize_overlap(
             F.when(F.col("ovl_id").isNotNull(), F.col("ovl_type").contains(flag)),
         )
     helper = ["_n_uri", "_n_span", "_inner", "_outer", "_min_len", "_max_len",
-              "_n_min", "_n_max", "_has_containment"]
+              "_n_min", "_n_max", "_start_dup", "_has_containment"]
     x = x.drop(*[c for c in helper if c in x.columns])
     if not keep_type_col:
         x = x.drop("ovl_type")
@@ -285,8 +298,11 @@ def resolve_overlap(
 ) -> DataFrame:
     """Keep exactly one row per overlap group (R/overlaps.R:558-638).
 
-    ``keep`` / ``omit`` name flag columns without the ``ovl_`` prefix;
-    earlier ``keep`` entries win (priority = index). ``tiebreak``:
+    ``keep`` / ``omit`` name flag columns without the ``ovl_`` prefix.
+    A row matching several ``keep`` flags gets the priority of its LAST
+    matching entry — the reference's assignment loop overwrites
+    ``ovl_keep := i`` on every pass (R/overlaps.R:569-571) — and the
+    group winner is the row with the smallest priority. ``tiebreak``:
     ``first`` (row order — deterministic (start, end, text) sort),
     ``hash`` (deterministic salted replacement for the reference's
     ``sample()``, R/overlaps.R:606-608, so reruns are byte-stable), or
@@ -299,8 +315,10 @@ def resolve_overlap(
     the documented intent of the API.
     """
     part = [doc_col] if doc_col else []
+    # forward iteration => the LAST matching keep entry ends up outermost in
+    # the when-chain, so it wins (reference parity, R/overlaps.R:569-571).
     keep_prio = F.lit(None).cast("int")
-    for i in reversed(range(len(keep))):
+    for i in range(len(keep)):
         keep_prio = F.when(F.col(f"ovl_{keep[i]}"), F.lit(i + 1)).otherwise(keep_prio)
     omitted = F.lit(False)
     for o in omit or []:
@@ -321,11 +339,7 @@ def resolve_overlap(
     # candidate set per the reference's tiebreak_fun (R/overlaps.R:590-619)
     candidate = F.when(
         F.col("_pos_min").isNull(), F.col("_keep").isNull()
-    ).otherwise(
-        F.when(F.col("_n_at_min") > 1, pos == F.col("_pos_min")).otherwise(
-            pos == F.col("_pos_min")
-        )
-    )
+    ).otherwise(pos == F.col("_pos_min"))
     x = x.withColumn("_cand", F.coalesce(candidate, F.lit(False)))
 
     needs_tiebreak = F.col("_pos_min").isNull() | (F.col("_n_at_min") > 1)

@@ -176,3 +176,52 @@ def test_resolve_tiebreak_hash_deterministic(spark):
     assert len(first) == 1  # exactly one survivor
     for _ in range(3):
         assert run() == first  # byte-stable across reruns (vs R sample())
+
+
+def test_categorize_equal_start_nesting_is_containment(spark):
+    """Prefix forms sharing a start ('Washington'[1,11] inside
+    'Washington D.C.'[1,16]) ARE containment: the within-pair has xid<yid,
+    which the reference's all(xid==yid) test counts (R/overlaps.R:421-439),
+    so the group is labeled shortest/longest — never partial."""
+    rows = [
+        ("d", 1, "Washington", "dbr:Washington_(state)"),
+        ("d", 1, "Washington D.C.", "dbr:Washington,_D.C."),
+    ]
+    df = categorize_overlap(detect_overlap(spark.createDataFrame(rows, COLS)))
+    by_text = {r["text"]: r for r in df.collect()}
+    assert by_text["Washington"]["ovl_shortest"]
+    assert not by_text["Washington"]["ovl_partial"]
+    assert by_text["Washington D.C."]["ovl_longest"]
+    assert not by_text["Washington D.C."]["ovl_partial"]
+    # resolve(keep=longest,shortest) must now keep the LONGEST mention
+    out = resolve_overlap(df, keep=["longest", "shortest"], tiebreak="first")
+    assert [r["text"] for r in out.collect()] == ["Washington D.C."]
+
+
+def test_categorize_equal_end_nesting_is_containment(spark):
+    """Suffix nesting ('D.C.'[12,16] inside 'Washington D.C.'[1,16]):
+    the later sort row is covered by the earlier one (xid>yid pair)."""
+    rows = [
+        ("d", 1, "Washington D.C.", "dbr:Washington,_D.C."),
+        ("d", 12, "D.C.", "dbr:Washington,_D.C."),
+    ]
+    df = categorize_overlap(detect_overlap(spark.createDataFrame(rows, COLS)))
+    by_text = {r["text"]: r for r in df.collect()}
+    assert by_text["Washington D.C."]["ovl_longest"]
+    assert by_text["D.C."]["ovl_shortest"]
+
+
+def test_resolve_last_matching_keep_entry_wins(spark):
+    """A row matching several keep flags gets its LAST matching entry's
+    priority (the reference loop overwrites, R/overlaps.R:569-571): with
+    keep=['outer','partial'], the synthesized outer row ('ovl_partial|
+    ovl_multiple|ovl_outer') lands on priority 2 like every other partial
+    row -> full tie -> tiebreak 'first' picks 'Crude oil' (lowest
+    (start, end, text)). First-match-wins would crown the outer row."""
+    df = categorize_overlap(
+        detect_overlap(spark.createDataFrame(CRUDE_ROWS, COLS)),
+        experimental=True,
+        keep_type_col=True,
+    )
+    out = resolve_overlap(df, keep=["outer", "partial"], tiebreak="first")
+    assert [r["text"] for r in out.collect()] == ["Crude oil"]
