@@ -33,10 +33,20 @@ from kgspark.disambig import (
 )
 from kgspark.entity_types import entity_types_map
 from kgspark.extract import extract_text
-from kgspark.multimodal import extract_features, sample_video_frames, synth_media
+from kgspark.multimodal import (
+    extract_features,
+    feature_sig,
+    media_table,
+    sample_video_frames,
+)
 from kgspark.overlaps import OVL_FLAGS, categorize_overlap, detect_overlap, resolve_overlap
 from kgspark.segment import segment_documents, stitch_filter
-from kgspark.similarity import cosine_topk, embedding_near_duplicates, hyperplane_lsh_topk
+from kgspark.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    hyperplane_lsh_topk,
+    lsh_recall,
+)
 from kgspark.sources import from_spotlight_json, from_tei, from_token_table, highlight_view, lookup
 from kgspark.spot import spot_documents, spot_segments
 from kgspark.streaming import sessionize
@@ -370,8 +380,10 @@ def q_spotlight_json(spark, sf_dir):
 
 
 def q_tei_roundtrip(spark, sf_dir):
-    """S6: TEI token extraction + text reconstruction (rows-only)."""
-    docs = _docs(spark, sf_dir).limit(50)
+    """S6: TEI token extraction + text reconstruction. The TEI is built
+    from `text` by a shared template, so the DuckDB oracle is the identity
+    projection — reconstruction must be byte-exact."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
     tei = docs.select(
         "doc_id",
         F.expr(
@@ -382,19 +394,38 @@ def q_tei_roundtrip(spark, sf_dir):
     return from_tei(tei).select("doc_id", "text")
 
 
-# rows-only operators (no SQL-expressible oracle; driver records row counts)
 def q_ann_lsh(spark, sf_dir):
     return hyperplane_lsh_topk(
-        _load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4
+        _load(spark, sf_dir, "embeddings"),
+        query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4, n_tables=8,
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def q_ann_recall(spark, sf_dir):
+    """recall@k of the multi-table LSH probe vs exact brute force —
+    quantifies the approximation; the oracle recomputes the same number."""
+    return lsh_recall(
+        _load(spark, sf_dir, "embeddings"),
+        query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4, n_tables=8,
     )
 
 
 def q_media_features(spark, sf_dir):
-    return extract_features(synth_media(spark, n=48), decode_mode="fake")
+    """Multimodal feature extraction over a documents-derived media table;
+    the md5-digest signature projection makes the oracle compare exact."""
+    media = media_table(_docs(spark, sf_dir), n=48)
+    feats = extract_features(media, decode_mode="fake")
+    return feats.select(
+        "media_id", "kind", "n_bytes", feature_sig(F.col("feature")).alias("feature_sig")
+    )
 
 
 def q_video_frames(spark, sf_dir):
-    return sample_video_frames(synth_media(spark, n=24), every_ms=5000)
+    media = media_table(_docs(spark, sf_dir), n=48)
+    frames = sample_video_frames(media, every_ms=5000)
+    return frames.select(
+        "media_id", "frame_ts_ms", feature_sig(F.col("frame_feature")).alias("frame_sig")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -442,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spotlight_json": q_spotlight_json,
         "tei_roundtrip": q_tei_roundtrip,
         "ann_lsh_bucketed": q_ann_lsh,
+        "ann_lsh_recall": q_ann_recall,
         "media_features": q_media_features,
         "video_frame_sample": q_video_frames,
     }
@@ -486,5 +518,9 @@ def oracle_sql() -> dict[str, str]:
         "highlight_view": oracles.q_highlight(),
         "lexicon_lookup": oracles.q_lexicon_lookup("join", 5),
         "spotlight_json": oracles.q_spotlight_json(),
-        # ann_lsh_bucketed / media_features / video_frame_sample: rows-only
+        "media_features": oracles.q_media_features(n=48),
+        "video_frame_sample": oracles.q_video_frames(n=48, every_ms=5000),
+        "tei_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 50",
+        "ann_lsh_bucketed": oracles.q_ann_lsh(n_tables=8),
+        "ann_lsh_recall": oracles.q_ann_recall(n_tables=8),
     }

@@ -546,6 +546,78 @@ SELECT vec_a, vec_b, sim FROM (
 WHERE sim >= {threshold}"""
 
 
+def _lsh_ctes(query_ids: tuple[int, ...], k: int, n_planes: int, n_tables: int,
+              seed: int, dim: int) -> str:
+    """Shared CTE chain mirroring kgspark.similarity.hyperplane_lsh_topk:
+    same seeded hyperplane constants, same rounded sign test, same
+    multi-table (tbl, bucket) equi-join + (sim desc, neighbor_id) ranking."""
+    from kgspark.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    plane_lits = ["[" + ", ".join(repr(float(v)) for v in p) + "]" for p in planes]
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN round(list_dot_product(v, {plane_lits[t * n_planes + i]}), 6) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        )
+
+    table_union = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {bucket(t)} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  sk AS (
+    {table_union}),
+  q AS (SELECT vec_id AS query_id, tbl AS qtbl, bucket AS qbucket FROM sk WHERE vec_id IN ({ids})),
+  lsh_pairs AS (
+    SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+    FROM q JOIN sk s ON s.tbl = q.qtbl AND s.bucket = q.qbucket AND s.vec_id <> q.query_id),
+  lsh_sims AS (
+    SELECT p.query_id, p.neighbor_id,
+      round(list_dot_product(qe.v, ne.v) / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))), 6) AS sim
+    FROM lsh_pairs p JOIN e qe ON qe.vec_id = p.query_id JOIN e ne ON ne.vec_id = p.neighbor_id),
+  lsh_ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM lsh_sims),
+  lsh_topk AS (SELECT query_id, neighbor_id, rank FROM lsh_ranked WHERE rank <= {k})"""
+
+
+def q_ann_lsh(query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5,
+              n_planes: int = 4, n_tables: int = 1, seed: int = 42, dim: int = 64) -> str:
+    return (
+        "WITH " + _lsh_ctes(query_ids, k, n_planes, n_tables, seed, dim)
+        + "\nSELECT query_id, neighbor_id, rank FROM lsh_topk"
+    )
+
+
+def q_ann_recall(query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5,
+                 n_planes: int = 4, n_tables: int = 1, seed: int = 42, dim: int = 64) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return (
+        "WITH " + _lsh_ctes(query_ids, k, n_planes, n_tables, seed, dim)
+        + f""",
+  bq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+  b_sims AS (
+    SELECT bq.query_id, e.vec_id AS neighbor_id,
+      round(list_dot_product(bq.qv, e.v) / (sqrt(list_dot_product(bq.qv, bq.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+    FROM bq JOIN e ON e.vec_id <> bq.query_id),
+  brute AS (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM b_sims QUALIFY rank <= {k}),
+  hits AS (
+    SELECT b.query_id, count(l.neighbor_id) AS n_hits
+    FROM brute b LEFT JOIN lsh_topk l USING (query_id, neighbor_id)
+    GROUP BY b.query_id),
+  bases AS (SELECT query_id, count(*) AS n_brute FROM brute GROUP BY query_id)
+SELECT bases.query_id, coalesce(hits.n_hits, 0) AS n_hits,
+  round(coalesce(hits.n_hits, 0)::DOUBLE / bases.n_brute, 6) AS recall
+FROM bases LEFT JOIN hits USING (query_id)"""
+    )
+
+
 def q_embed_topk(query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -639,6 +711,38 @@ SELECT sf AS surface_form, uri, support FROM lex
 WHERE contains(lower(sf), '{query.lower()}')
 ORDER BY support DESC, uri LIMIT {max_results}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal (media table derived from documents; md5-derived fake features —
+# arithmetic mirrored verbatim from kgspark.multimodal.media_table)
+def _digest_sig(h_expr: str, dim: int = 8) -> str:
+    """Pipe-joined digest-byte ints from an md5 hex expression."""
+    return (
+        f"array_to_string(list_transform(generate_series(0, {dim - 1}), "
+        f"i -> cast(cast('0x' || substr({h_expr}, (i % 16) * 2 + 1, 2) AS INTEGER) AS VARCHAR)), '|')"
+    )
+
+
+def q_media_features(n: int = 48, dim: int = 8) -> str:
+    return f"""WITH m AS (
+    SELECT doc_id AS media_id,
+      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      text
+    FROM documents WHERE doc_id < {n}),
+  f AS (SELECT media_id, kind, octet_length(encode(text)) AS n_bytes, md5(text) AS h FROM m)
+SELECT media_id, kind, n_bytes, {_digest_sig('h', dim)} AS feature_sig FROM f"""
+
+
+def q_video_frames(n: int = 48, every_ms: int = 5000, dim: int = 8) -> str:
+    return f"""WITH m AS (
+    SELECT doc_id AS media_id, text, 1000 + (doc_id * 7919) % 59000 AS duration_ms
+    FROM documents WHERE doc_id < {n} AND doc_id % 3 = 2),
+  fr AS (SELECT media_id, md5(text) AS ph,
+         unnest(generate_series(0, duration_ms - 1, {every_ms})) AS frame_ts_ms FROM m),
+  f AS (SELECT media_id, frame_ts_ms,
+        md5(ph || '-' || cast(frame_ts_ms AS VARCHAR)) AS h FROM fr)
+SELECT media_id, frame_ts_ms, {_digest_sig('h', dim)} AS frame_sig FROM f"""
 
 
 # JSON template shared verbatim with the Spark side of `spotlight_json`

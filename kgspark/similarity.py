@@ -71,11 +71,17 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def sketch_expr(vec_col, planes: list[list[float]]):
-    """Sign sketch: integer bucket id from hyperplane sides."""
+    """Sign sketch: integer bucket id from hyperplane sides.
+
+    The dot product is rounded to 6 decimals before the sign test so the
+    DuckDB oracle (list_dot_product over the same plane constants) lands in
+    the same bucket even when summation order differs at the last ulp.
+    """
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(v)) for v in plane])
-        bucket = bucket + F.when(_dot(vec_col, arr) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        side = F.round(_dot(vec_col, arr), 6) > 0
+        bucket = bucket + F.when(side, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 
 
@@ -84,32 +90,92 @@ def hyperplane_lsh_topk(
     query_ids: list[int],
     k: int = 10,
     n_planes: int = 4,
+    n_tables: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's own sketch bucket."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    """Approximate top-k via multi-table sign LSH (the standard recall
+    lever: L independent tables of b hyperplanes each; a pair is a
+    candidate if it collides in ANY table, P = 1-(1-p^b)^L). The probe is
+    an equi-join on (table, bucket) — never a cross join — and the
+    per-vector cost is L narrow sketch expressions, so the corpus side
+    scales linearly. ``n_tables=1`` is the single-probe special case."""
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    tables = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    sketch_expr(
+                        F.col(vec_col), planes[t * n_planes : (t + 1) * n_planes]
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("tb")
     sk = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nvec"),
-        sketch_expr(F.col(vec_col), planes).alias("bucket"),
-    )
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), tables
+    ).select("neighbor_id", "nvec", "tb.tbl", "tb.bucket")
     q = sk.filter(F.col("neighbor_id").isin(query_ids)).select(
         F.col("neighbor_id").alias("query_id"),
         F.col("nvec").alias("qvec"),
+        F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
-    joined = sk.join(
+    cand = sk.join(
         F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("neighbor_id") != F.col("query_id")),
-    ).withColumn("sim", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
+        (F.col("tbl") == F.col("qtbl"))
+        & (F.col("bucket") == F.col("qbucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def lsh_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """recall@k of the LSH-bucketed ANN vs the exact brute-force top-k.
+
+    (query_id, n_hits, recall) — quantifies the approximation so the scale
+    path is measured, not assumed. Both operands are deterministic, so the
+    DuckDB oracle recomputes the identical number.
+    """
+    brute = cosine_topk(embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col)
+    approx = hyperplane_lsh_topk(
+        embeddings, query_ids, k=k, n_planes=n_planes, n_tables=n_tables,
+        seed=seed, id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    hits = brute.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    base = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n_brute"))
+    return (
+        base.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("_n_brute"), 6
+            ).alias("recall"),
+        )
     )
 
 

@@ -49,14 +49,8 @@ def test_entry_returns_rows(spark):
 def test_every_query_has_oracle_or_is_flagged():
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     assert set(osql) <= set(qs)
-    rows_only = set(qs) - set(osql)
-    # only genuinely non-SQL-expressible ops may skip the oracle
-    assert rows_only == {
-        "ann_lsh_bucketed",
-        "media_features",
-        "video_frame_sample",
-        "tei_roundtrip",
-    }
+    # every registered query is oracle-adjudicated — no rows-only rows left
+    assert set(qs) == set(osql)
 
 
 @pytest.mark.parametrize("name", SUBSET)
