@@ -36,6 +36,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--rebalance-segments", action="store_true")
     ap.add_argument("--no-html", action="store_true",
                     help="input already has extracted text")
+    ap.add_argument("--redirects-preclosed", action="store_true",
+                    help="the --redirects table is already transitively "
+                         "closed (output of write_closed_redirects)")
+    ap.add_argument("--lexicon-artifact",
+                    help="executor-reachable dir for the surface-form "
+                         "artifact (defaults under --checkpoint)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -65,6 +71,8 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_root=args.checkpoint,
         use_html=not args.no_html,
         rebalance_segments=args.rebalance_segments,
+        redirects_preclosed=args.redirects_preclosed,
+        lexicon_artifact=args.lexicon_artifact,
     )
     t0 = time.time()
     out = run_pipeline(spark, docs, lexicon, redirects, sameas, cfg, doc_col=args.doc_col)

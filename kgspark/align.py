@@ -45,6 +45,7 @@ def token_table(
 def align_mentions(
     mentions: DataFrame,
     tokens: DataFrame,
+    bucket_chars: int = 512,
 ) -> DataFrame:
     """Attach cpos_left / cpos_right to each (doc_id, start, text) mention.
 
@@ -55,9 +56,31 @@ def align_mentions(
     Mentions whose span falls outside any token stay NULL and are the
     'inexact annotations' the reference drops with a warning
     (P9, R/dbpedia.R:926-934).
+
+    Join shape: a naive ``mentions ⋈ tokens ON doc_id`` aggregates every
+    token of the document per mention — O(mentions × doc_tokens), the
+    quadratic hotspot on long crawl documents. Instead both sides are
+    keyed by a char-range bucket: each token lands in exactly one bucket
+    (by ``begin``, so pairs are never duplicated) and each mention
+    explodes to its span's buckets ± 1 guard bucket, which is where its
+    as-of boundary tokens must live as long as every token + gap is
+    shorter than ``bucket_chars``. Per-mention work is then O(span/B · B)
+    ≈ O(span), independent of document length.
     """
     m = mentions.withColumn("m_end", F.col("start") + F.length("text") - 1)
-    j = m.join(tokens, "doc_id")
+    tb = tokens.withColumn(
+        "_bkt", F.floor((F.col("begin") - 1) / bucket_chars)
+    )
+    mb = m.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("start") - 1) / bucket_chars) - 1,
+                F.floor((F.col("m_end") - 1) / bucket_chars) + 1,
+            )
+        ),
+    )
+    j = mb.join(tb, ["doc_id", "_bkt"])
     return (
         j.groupBy("doc_id", "start", "text", "m_end")
         .agg(

@@ -103,13 +103,79 @@ def find_word_bounded(automaton: AhoCorasick, text: str) -> list[tuple[int, str]
     return hits
 
 
-def build_automaton(patterns: Iterable[str]) -> AhoCorasick:
-    """Build the spotting automaton. Gate for a C implementation at scale."""
-    try:  # pragma: no cover - optional fast path, not installed in CI image
-        import ahocorasick as _c  # noqa: F401
+class CAhoCorasick:
+    """pyahocorasick-backed adapter, same ``iter_matches`` contract.
 
-        # A pyahocorasick-backed adapter would go here; the pure-Python
-        # automaton is the portable default and the correctness reference.
-    except ImportError:
-        pass
+    The C trie builds ~100× faster and uses ~10× less memory than the
+    pure-Python automaton — at a 10⁶–10⁷-surface-form Spotlight lexicon
+    this is the difference between seconds and minutes per worker. Kept
+    behind the import gate because the container image has no compiler;
+    ``test_automaton.py::test_c_adapter_matches_pure`` exercises it
+    wherever the wheel is present.
+    """
+
+    __slots__ = ("_auto", "patterns")
+
+    def __init__(self, patterns: Iterable[str]):
+        import ahocorasick
+
+        self.patterns: list[str] = sorted(set(p for p in patterns if p))
+        self._auto = ahocorasick.Automaton()
+        for pat in self.patterns:
+            self._auto.add_word(pat, pat)
+        self._auto.make_automaton()
+
+    def iter_matches(self, text: str) -> Iterator[tuple[int, str]]:
+        for end_idx, pat in self._auto.iter(text):
+            yield (end_idx - len(pat) + 1, pat)
+
+
+def build_automaton(patterns: Iterable[str], prefer_c: bool = True):
+    """Build the spotting automaton — C implementation when available,
+    pure-Python (the portable correctness reference) otherwise."""
+    if prefer_c:
+        try:
+            import ahocorasick  # noqa: F401
+
+            return CAhoCorasick(patterns)
+        except ImportError:
+            pass
     return AhoCorasick(patterns)
+
+
+# ---------------------------------------------------------------------------
+# Artifact path: build the automaton ON THE EXECUTORS from a parquet
+# artifact of surface forms, once per worker process, instead of
+# collect()-ing the lexicon to the driver and shipping a pickled automaton
+# through a broadcast. At a real Spotlight lexicon (10^6-10^7 forms) the
+# pickled pure-Python trie is GBs and the driver build takes minutes; the
+# artifact is ~100 MB of compressed parquet and each worker builds the trie
+# locally (C-speed with pyahocorasick), amortized by worker reuse.
+_PROCESS_CACHE: dict[str, object] = {}
+
+
+def write_lexicon_artifact(lexicon, path: str) -> str:
+    """Distributed write of the distinct surface forms (no driver collect).
+    ``path`` must be reachable by every executor (shared FS on a cluster;
+    any local dir under local[*])."""
+    lexicon.select("surface_form").distinct().write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_automaton_from_artifact(path: str):
+    """Executor-side: read the artifact with pyarrow and build the
+    automaton once per python worker process (module-level cache; hits on
+    every subsequent batch while spark.python.worker.reuse holds)."""
+    auto = _PROCESS_CACHE.get(path)
+    if auto is None:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        forms: list[str] = []
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+            forms.extend(pq.read_table(f, columns=["surface_form"]).column(0).to_pylist())
+        auto = build_automaton(forms)
+        _PROCESS_CACHE[path] = auto
+    return auto

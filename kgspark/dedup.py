@@ -227,27 +227,47 @@ def simhash(
     return bit_sums.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_bands(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """(shift, width) per band: contiguous bit slices, widths as equal as
+    possible. Shared with the DuckDB oracle so band keys match exactly."""
+    base, rem = divmod(bits, n_bands)
+    out, shift = [], 0
+    for j in range(n_bands):
+        width = base + (1 if j < rem else 0)
+        out.append((shift, width))
+        shift += width
+    return out
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 16,
     max_hamming: int = 2,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """Multi-index banded hamming join: split the hash into two halves; any
-    pair within hamming distance <= 2 agrees exactly on at least one half
-    only when distance is concentrated — for a guarantee with distance d,
-    use d+1 bands (pigeonhole). Here: 2 halves cover d <= 1 exactly and
-    d <= 2 heuristically; verification recomputes true hamming."""
+    """Multi-index banded hamming join (Gionis et al. pigeonhole scheme):
+    split the hash into ``n_bands`` contiguous bit slices; a pair within
+    hamming distance d <= n_bands - 1 is GUARANTEED to agree exactly on at
+    least one slice, so the banded equi-join has recall 1 for d <=
+    n_bands - 1. Default n_bands = max_hamming + 1 makes the guarantee
+    match the requested radius; verification recomputes true hamming."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
     s = simhash(df, id_col, text_col, bits=bits)
-    half_bits = bits // 2
     banded = s.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("band_id"), (F.col("simhash") % (1 << half_bits)).alias("band_key")),
-                F.struct(F.lit(1).alias("band_id"), F.shiftright("simhash", half_bits).alias("band_key")),
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        (F.shiftright("simhash", shift) % (1 << width)).alias("band_key"),
+                    )
+                    for j, (shift, width) in enumerate(simhash_bands(bits, n_bands))
+                ]
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_id", "band.band_key")

@@ -508,21 +508,26 @@ WHERE jaccard >= {threshold}"""
     )
 
 
-def q_dedup_simhash(bits: int = 16, max_hamming: int = 2) -> str:
+def q_dedup_simhash(bits: int = 16, max_hamming: int = 2, n_bands: int | None = None) -> str:
+    from kgspark.dedup import simhash_bands
+
+    if n_bands is None:
+        n_bands = max_hamming + 1
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
     )
     assemble = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
-    half = bits // 2
+    band_union = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, simhash, {j} AS band_id, (simhash >> {shift}) % {1 << width} AS band_key FROM sh"
+        for j, (shift, width) in enumerate(simhash_bands(bits, n_bands))
+    )
     return rf"""WITH tok AS (
     SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents),
   th AS (SELECT doc_id, cast('0x' || substr(md5(t), 1, 4) AS BIGINT) AS h FROM tok),
   bs AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id),
   sh AS (SELECT doc_id, {assemble} AS simhash FROM bs),
   band AS (
-    SELECT doc_id, simhash, 0 AS band_id, simhash % {1 << half} AS band_key FROM sh
-    UNION ALL
-    SELECT doc_id, simhash, 1 AS band_id, simhash // {1 << half} AS band_key FROM sh),
+    {band_union}),
   pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS h_a, b.simhash AS h_b
     FROM band a JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)

@@ -18,13 +18,15 @@ triple set, plus the final write repartition. Everything else is narrow.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kgspark import canonicalize as canon
 from kgspark import disambig, entity_types, overlaps, segment, spot, triples
-from kgspark.automaton import build_automaton
+from kgspark.automaton import write_lexicon_artifact
 from kgspark.extract import extract_text
 from kgspark.lineage import StageRunner
 
@@ -50,6 +52,15 @@ class PipelineConfig:
     use_html: bool = True          # extract text from html (else trust text col)
     rebalance_segments: bool = False  # salted shuffle after explode: enable
                                       # when the crawl has giant documents
+    lexicon_artifact: str | None = None  # where the surface-form artifact is
+                                         # written (must be executor-reachable
+                                         # — shared FS on a real cluster);
+                                         # default: <checkpoint_root>/_lexicon
+                                         # or a local tempdir
+    redirects_preclosed: bool = False    # True when the redirects dim is the
+                                         # output of write_closed_redirects
+                                         # (the production setup — closure is
+                                         # an offline dim-build step)
 
 
 def run_pipeline(
@@ -64,8 +75,16 @@ def run_pipeline(
     cfg = cfg or PipelineConfig()
     runner = StageRunner(spark, cfg.checkpoint_root)
 
-    surface_forms = [r["surface_form"] for r in lexicon.select("surface_form").distinct().collect()]
-    automaton_bc = spark.sparkContext.broadcast(build_automaton(surface_forms))
+    # No driver collect, no pickled-automaton broadcast: the distinct
+    # surface forms are written as a parquet artifact (distributed write)
+    # and each python worker builds + caches the automaton locally
+    # (kgspark.automaton.load_automaton_from_artifact).
+    artifact = cfg.lexicon_artifact or (
+        os.path.join(cfg.checkpoint_root, "_lexicon_forms")
+        if cfg.checkpoint_root
+        else tempfile.mkdtemp(prefix="kgspark-lexicon-")
+    )
+    automaton_src = write_lexicon_artifact(lexicon, artifact)
 
     # cache=True: docs feed both the segment->spot path and the
     # doc-token context join — without it the extract UDF runs twice.
@@ -94,7 +113,7 @@ def run_pipeline(
         lambda: segment.stitch_filter(
             spot.spot_segments(
                 segs,
-                automaton_bc,
+                automaton_src,
                 doc_col=doc_col,
                 keep_extra=("keep_from", "keep_to", "doc_tokens"),
             )
@@ -132,7 +151,9 @@ def run_pipeline(
         lambda: entity_types.entity_types_map(resolved, cfg.mapping),
     )
 
-    redirects_closed = canon.close_redirects(redirects)
+    redirects_closed = (
+        redirects if cfg.redirects_preclosed else canon.close_redirects(redirects)
+    )
     canonical = runner.run(
         "canonicalize",
         lambda: canon.canonicalize(typed, redirects_closed, sameas),

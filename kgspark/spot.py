@@ -20,16 +20,25 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from kgspark.automaton import AhoCorasick, find_word_bounded
+from kgspark.automaton import find_word_bounded, load_automaton_from_artifact
 from kgspark.schemas import MENTIONS_ARRAY
 
 
-def make_spot_udf(automaton_bc):
-    """Build the spotting pandas UDF around a Broadcast[AhoCorasick]."""
+def make_spot_udf(source):
+    """Build the spotting pandas UDF.
+
+    ``source`` is either a ``Broadcast[AhoCorasick]`` (small lexicons; the
+    pickled automaton rides the broadcast) or a ``str`` path to a surface-
+    form parquet artifact — then each python worker builds the automaton
+    locally once and caches it per-process (the 10⁶⁺-form scale path; see
+    kgspark.automaton.load_automaton_from_artifact).
+    """
+
+    by_path = isinstance(source, str)
 
     @pandas_udf(MENTIONS_ARRAY)
     def _spot(texts: pd.Series) -> pd.Series:
-        ac: AhoCorasick = automaton_bc.value
+        ac = load_automaton_from_artifact(source) if by_path else source.value
 
         def one(t):
             if t is None:
@@ -43,7 +52,7 @@ def make_spot_udf(automaton_bc):
 
 def spot_segments(
     segments: DataFrame,
-    automaton_bc,
+    automaton_src,
     doc_col: str = "url",
     seg_text_col: str = "seg_text",
     seg_off_col: str = "seg_off",
@@ -54,7 +63,7 @@ def spot_segments(
     One narrow pipeline: UDF -> explode; no shuffle. ``start`` is 1-based in
     the original document (offset rebase, P2 — ``R/dbpedia.R:557``).
     """
-    spot = make_spot_udf(automaton_bc)
+    spot = make_spot_udf(automaton_src)
     exploded = segments.withColumn("_m", F.explode(spot(F.col(seg_text_col))))
     cols = [
         F.col(doc_col).alias("doc_id"),
@@ -65,10 +74,10 @@ def spot_segments(
 
 
 def spot_documents(
-    docs: DataFrame, automaton_bc, doc_col: str = "url", text_col: str = "text"
+    docs: DataFrame, automaton_src, doc_col: str = "url", text_col: str = "text"
 ) -> DataFrame:
     """Spot whole (un-segmented) documents; start is 1-based."""
-    spot = make_spot_udf(automaton_bc)
+    spot = make_spot_udf(automaton_src)
     return (
         docs.withColumn("_m", F.explode(spot(F.col(text_col))))
         .select(

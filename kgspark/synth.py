@@ -162,6 +162,34 @@ GOLDEN_LEXICON_ROWS: list[tuple] = [
 
 
 # ---------------------------------------------------------------------------
+# Big generated lexicon (scale-path exercises: the 31-row lexicon above is
+# for oracle-pinned correctness; this one sizes the automaton/artifact path
+# like a real Spotlight lexicon).
+def big_lexicon_forms(n: int = 100_000) -> list[str]:
+    """n deterministic, mostly-prefix-diverse surface forms (vocab word +
+    md5 suffix — ~6 trie states per form, like real-world entity names)."""
+    import hashlib
+
+    return [
+        f"{VOCAB[i % len(VOCAB)]} {hashlib.md5(str(i).encode()).hexdigest()[:8]}"
+        for i in range(n)
+    ]
+
+
+def big_lexicon_df(spark, n: int = 100_000):
+    """Full lexicon rows for the generated forms (every form unambiguous;
+    the point is automaton/join scale, not disambiguation)."""
+    from kgspark.schemas import LEXICON_SCHEMA
+
+    rows = [
+        (sf, f"dbr:Gen_{i}", 1.0, 100 + (i % 900), ["Thing"], ["Q35120"], "data")
+        for i, sf in enumerate(big_lexicon_forms(n))
+    ]
+    # keep the real forms too so the spotting result is non-trivial
+    return spark.createDataFrame(rows + LEXICON_ROWS, LEXICON_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # HTML builder. The Python and SQL builders MUST stay in lockstep: the SQL
 # variant is used by the DuckDB oracle (and Spark SQL) to synthesize the same
 # bytes from the testdata `documents.text` column, so the extract stage can

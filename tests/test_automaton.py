@@ -1,6 +1,7 @@
 """Aho-Corasick correctness vs a brute-force scan (property-style)."""
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from kgspark.automaton import build_automaton, find_word_bounded
 
@@ -74,3 +75,57 @@ def test_boundary_rejections():
     assert find_word_bounded(ac, "xspark") == []
     assert find_word_bounded(ac, "spark.") == [(0, "spark")]
     assert find_word_bounded(ac, "(spark)") == [(1, "spark")]
+
+
+def test_artifact_path_equals_broadcast(spark, tmp_path):
+    """Spotting through the executor-built artifact automaton must equal
+    spotting through a driver-built broadcast automaton."""
+    from kgspark import synth
+    from kgspark.automaton import build_automaton, write_lexicon_artifact
+    from kgspark.spot import spot_documents
+
+    docs = synth.synth_documents(spark, n_docs=30).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    forms = sorted({r[0] for r in synth.LEXICON_ROWS})
+    bc = spark.sparkContext.broadcast(build_automaton(forms))
+    path = str(tmp_path / "lexforms")
+    write_lexicon_artifact(synth.lexicon_df(spark), path)
+    via_bc = sorted(map(tuple, spot_documents(docs, bc, doc_col="doc_id").collect()))
+    via_art = sorted(map(tuple, spot_documents(docs, path, doc_col="doc_id").collect()))
+    assert via_bc == via_art and len(via_bc) > 0
+
+
+def test_big_lexicon_automaton_spots_correctly(spark, tmp_path):
+    """100k-surface-form lexicon through the artifact path: the generated
+    forms never appear in the corpus, so spotting must return exactly the
+    same mentions as the 31-form lexicon (and the build must not blow up)."""
+    from kgspark import synth
+    from kgspark.automaton import build_automaton, write_lexicon_artifact
+    from kgspark.spot import spot_documents
+
+    docs = synth.synth_documents(spark, n_docs=20).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    path = str(tmp_path / "biglex")
+    write_lexicon_artifact(synth.big_lexicon_df(spark, n=100_000), path)
+    big = sorted(map(tuple, spot_documents(docs, path, doc_col="doc_id").collect()))
+    small_bc = spark.sparkContext.broadcast(
+        build_automaton(sorted({r[0] for r in synth.LEXICON_ROWS}))
+    )
+    small = sorted(map(tuple, spot_documents(docs, small_bc, doc_col="doc_id").collect()))
+    assert big == small and len(big) > 0
+
+
+def test_c_adapter_matches_pure():
+    """pyahocorasick adapter parity — exercised wherever the wheel exists."""
+    import pytest as _pt
+
+    _pt.importorskip("ahocorasick")
+    from kgspark.automaton import AhoCorasick, CAhoCorasick, find_word_bounded
+
+    pats = ["join", "merge join", "sort merge join", "a", "spark"]
+    text = "a sort merge join beats a hash join in spark sometimes"
+    pure = find_word_bounded(AhoCorasick(pats), text)
+    fast = find_word_bounded(CAhoCorasick(pats), text)
+    assert pure == fast

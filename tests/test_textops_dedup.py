@@ -143,3 +143,48 @@ def test_multimodal_real_decode_raises(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_simhash_band_pigeonhole_pure():
+    """Any two 16-bit values within hamming distance 2 share at least one
+    of the 3 contiguous band slices (pigeonhole guarantee)."""
+    from itertools import combinations
+    from kgspark.dedup import simhash_bands
+
+    bands = simhash_bands(16, 3)
+    x = 0b1010110011010101
+    for flip in list(combinations(range(16), 1)) + list(combinations(range(16), 2)):
+        y = x
+        for b in flip:
+            y ^= 1 << b
+        shared = any(
+            (x >> s) % (1 << w) == (y >> s) % (1 << w) for s, w in bands
+        )
+        assert shared, f"flips {flip} escaped all bands"
+
+
+def test_simhash_banded_recall_is_total(spark):
+    """End-to-end: the banded join finds EVERY pair within the hamming
+    radius — compare against the exact all-pairs computation."""
+    from kgspark.dedup import simhash, simhash_near_duplicates
+    from kgspark import synth
+
+    docs = synth.synth_documents(spark, n_docs=80).select(
+        F.monotonically_increasing_id().alias("doc_id"), "text"
+    )
+    docs = docs.persist()
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_duplicates(docs, bits=16, max_hamming=2).collect()
+    }
+    s = simhash(docs, bits=16)
+    a, b = s.alias("a"), s.alias("b")
+    exact = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        .filter(F.col("hamming") <= 2)
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    )
+    expect = {(r["da"], r["db"]) for r in exact.collect()}
+    assert expect, "fixture produced no close pairs — test is vacuous"
+    assert banded == expect
