@@ -227,6 +227,19 @@ def q_align_tokens(spark, sf_dir):
     )
 
 
+def q_align_exact(spark, sf_dir):
+    """expand_to_token=FALSE: only exact token-boundary hits align
+    (the reference's default path; R/dbpedia.R:835-852)."""
+    docs = _docs(spark, sf_dir)
+    aligned = align_mentions(
+        _spots(spark, sf_dir), token_table(docs, doc_col="doc_id"),
+        expand_to_token=False,
+    )
+    return aligned.select(
+        "doc_id", "start", "text", "end", "cpos_left", "cpos_right", "covered_words"
+    )
+
+
 def q_align_regions(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     toks = token_table(docs, doc_col="doc_id")
@@ -353,9 +366,59 @@ def q_token_decode(spark, sf_dir):
 
 
 def q_highlight(spark, sf_dir):
-    """K3: presentation colors per mapped category."""
-    typed = entity_types_map(_linked(spark, sf_dir), oracles.TYPE_MAPPING)
-    return highlight_view(typed).select("doc_id", "start", "text", "category", "color")
+    """K3: the full as_subcorpus payload — color + href + tooltip + the
+    cpos matrix from token alignment (R/utils.R:157-166)."""
+    linked = _linked(spark, sf_dir)
+    typed = highlight_view(entity_types_map(linked, oracles.TYPE_MAPPING))
+    toks = token_table(_docs(spark, sf_dir), doc_col="doc_id")
+    aligned = align_mentions(linked.select("doc_id", "start", "text"), toks)
+    return typed.join(
+        aligned.select("doc_id", "start", "text", "cpos_left", "cpos_right"),
+        ["doc_id", "start", "text"],
+    ).select(
+        "doc_id", "start", "text", "category", "color", "href", "tooltip",
+        "cpos_left", "cpos_right",
+    )
+
+
+def q_tei_features(spark, sf_dir):
+    """S6 feature path: namespaced TEI (prefixed tei: tags) with the first
+    two words wrapped in <tei:name type="NE"> — parse tokens + the
+    pre-annotated NE span and emit the feature rows."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    ws = F.split(F.col("text"), " ")
+    tei = docs.filter(F.size(ws) >= 3).select(
+        "doc_id",
+        F.concat(
+            F.lit('<tei:s xmlns:tei="http://www.tei-c.org/ns/1.0"><tei:name type="NE">'),
+            F.lit('<tei:w xml:id="t0">'), ws[0], F.lit("</tei:w>"),
+            F.lit('<tei:w xml:id="t1">'), ws[1], F.lit("</tei:w></tei:name>"),
+            F.array_join(
+                F.transform(
+                    F.slice(ws, 3, F.size(ws) - 2),
+                    lambda w, i: F.concat(
+                        F.lit('<tei:w xml:id="t'),
+                        (i + 2).cast("string"),
+                        F.lit('">'),
+                        w,
+                        F.lit("</tei:w>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</tei:s>"),
+        ).alias("xml"),
+    )
+    parsed = from_tei(tei, feature_tag="name")
+    f = F.explode(F.col("features")).alias("f")
+    return parsed.select("doc_id", f).select(
+        "doc_id",
+        F.col("f.feature_id").alias("feature_id"),
+        F.col("f.kind").alias("kind"),
+        F.col("f.start").alias("start"),
+        F.col("f.end").alias("end"),
+        F.col("f.text").alias("text"),
+    )
 
 
 def q_lexicon_lookup(spark, sf_dir):
@@ -452,7 +515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikidata_props": q_wikidata_props,
         "triples": q_triples,
         "align_tokens": q_align_tokens,
+        "align_tokens_exact": q_align_exact,
         "align_regions": q_align_regions,
+        "tei_features": q_tei_features,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_counts": q_token_counts,
@@ -497,7 +562,9 @@ def oracle_sql() -> dict[str, str]:
         "wikidata_props": oracles.q_wikidata_props(),
         "triples": oracles.q_triples(),
         "align_tokens": oracles.q_align_tokens(),
+        "align_tokens_exact": oracles.q_align_exact(),
         "align_regions": oracles.q_align_regions(),
+        "tei_features": oracles.q_tei_features(n=100),
         "lang_id": oracles.q_lang_id(),
         "quality_score": oracles.q_quality(),
         "token_counts": oracles.q_token_counts(),

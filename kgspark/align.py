@@ -46,16 +46,21 @@ def align_mentions(
     mentions: DataFrame,
     tokens: DataFrame,
     bucket_chars: int = 512,
+    expand_to_token: bool = True,
 ) -> DataFrame:
     """Attach cpos_left / cpos_right to each (doc_id, start, text) mention.
 
+    With ``expand_to_token=True`` (default, the reference's expand path):
     cpos_left  = last token starting at or before the mention start
-                 (expand-left as-of, R/dbpedia.R:846-851);
+                 (equi hit, else strict-predecessor fallback —
+                 R/dbpedia.R:846-851);
     cpos_right = first token ending at or after the mention end
-                 (expand-right, R/dbpedia.R:838-845).
-    Mentions whose span falls outside any token stay NULL and are the
-    'inexact annotations' the reference drops with a warning
-    (P9, R/dbpedia.R:926-934).
+                 (R/dbpedia.R:838-845).
+    With ``expand_to_token=False``: only EXACT boundary hits count
+    (``token.begin == start`` / ``token.end == end``); misaligned spans
+    stay NULL — the reference's default, whose rows are then dropped as
+    'inexact annotations' (P9, R/dbpedia.R:926-934; the 10-vs-11-row
+    contract of tests/testthat/test-expand_to_token.R).
 
     Join shape: a naive ``mentions ⋈ tokens ON doc_id`` aggregates every
     token of the document per mention — O(mentions × doc_tokens), the
@@ -81,15 +86,17 @@ def align_mentions(
         ),
     )
     j = mb.join(tb, ["doc_id", "_bkt"])
+    if expand_to_token:
+        left_cond = F.col("begin") <= F.col("start")
+        right_cond = F.col("end") >= F.col("m_end")
+    else:
+        left_cond = F.col("begin") == F.col("start")
+        right_cond = F.col("end") == F.col("m_end")
     return (
         j.groupBy("doc_id", "start", "text", "m_end")
         .agg(
-            F.max(F.when(F.col("begin") <= F.col("start"), F.col("cpos"))).alias(
-                "cpos_left"
-            ),
-            F.min(F.when(F.col("end") >= F.col("m_end"), F.col("cpos"))).alias(
-                "cpos_right"
-            ),
+            F.max(F.when(left_cond, F.col("cpos"))).alias("cpos_left"),
+            F.min(F.when(right_cond, F.col("cpos"))).alias("cpos_right"),
             # J3 analogue: ids of tokens fully covered by the mention span,
             # pipe-joined in cpos order (R/dbpedia.R:1247-1258)
             F.array_join(

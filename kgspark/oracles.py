@@ -356,12 +356,13 @@ def token_cte() -> str:
   tok2 AS (SELECT doc_id, cpos, word, begin_, begin_ + length(word) - 1 AS end_ FROM tok)"""
 
 
-def align_cte(src: str = "spots") -> str:
+def align_cte(src: str = "spots", exact: bool = False) -> str:
+    left_op, right_op = ("=", "=") if exact else ("<=", ">=")
     return f"""m AS (SELECT doc_id, start, text, start + length(text) - 1 AS m_end FROM {src}),
   aligned AS (
     SELECT m.doc_id, m.start, m.text, m.m_end AS "end",
-      max(CASE WHEN t.begin_ <= m.start THEN t.cpos END) AS cpos_left,
-      min(CASE WHEN t.end_ >= m.m_end THEN t.cpos END) AS cpos_right,
+      max(CASE WHEN t.begin_ {left_op} m.start THEN t.cpos END) AS cpos_left,
+      min(CASE WHEN t.end_ {right_op} m.m_end THEN t.cpos END) AS cpos_right,
       coalesce(array_to_string(
         list(t.word ORDER BY t.cpos) FILTER (WHERE t.begin_ >= m.start AND t.end_ <= m.m_end),
         '|'), '') AS covered_words
@@ -372,6 +373,14 @@ def align_cte(src: str = "spots") -> str:
 def q_align_tokens() -> str:
     return (
         _kg_chain(lex_cte(), spots_cte(), token_cte(), align_cte())
+        + '\nSELECT doc_id, start, text, "end", cpos_left, cpos_right, covered_words FROM aligned'
+    )
+
+
+def q_align_exact() -> str:
+    """expand_to_token=FALSE: only exact token-boundary hits align."""
+    return (
+        _kg_chain(lex_cte(), spots_cte(), token_cte(), align_cte(exact=True))
         + '\nSELECT doc_id, start, text, "end", cpos_left, cpos_right, covered_words FROM aligned'
     )
 
@@ -696,15 +705,38 @@ FROM tok2 GROUP BY doc_id"""
 
 
 def q_highlight() -> str:
+    """Full as_subcorpus payload: color + href + tooltip + cpos matrix
+    (R/utils.R:157-166)."""
     return (
-        _kg_chain(lex_cte(), spots_cte(), cands_cte(), linked_cte())
+        _kg_chain(
+            lex_cte(), spots_cte(), cands_cte(), linked_cte(),
+            token_cte(), align_cte(src="linked"),
+        )
         + f"""
-SELECT doc_id, start, text, category,
-  CASE category WHEN 'PERSON' THEN 'yellow' WHEN 'LOCATION' THEN 'lightgreen'
+SELECT t.doc_id, t.start, t.text, t.category,
+  CASE t.category WHEN 'PERSON' THEN 'yellow' WHEN 'LOCATION' THEN 'lightgreen'
        WHEN 'ORGANIZATION' THEN 'lightskyblue' WHEN 'MISC' THEN 'lightgrey'
-       ELSE 'lavender' END AS color
-FROM (SELECT doc_id, start, text, {category_sql()} AS category FROM linked)"""
+       ELSE 'lavender' END AS color,
+  t.dbpedia_uri AS href,
+  coalesce(t.dbpedia_uri, '[no uri]') AS tooltip,
+  a.cpos_left, a.cpos_right
+FROM (SELECT doc_id, start, text, dbpedia_uri, {category_sql()} AS category FROM linked) t
+JOIN aligned a USING (doc_id, start, text)"""
     )
+
+
+def q_tei_features(n: int = 100) -> str:
+    """Pre-annotated NE spans: the TEI template wraps the first two words
+    in <tei:name type="NE"> — feature_id/kind/span/text per
+    to_annotation's feature path (R/dbpedia.R:255-303)."""
+    return f"""SELECT doc_id,
+  't0_name' AS feature_id,
+  'NE' AS kind,
+  1::BIGINT AS start,
+  (length(split_part(text, ' ', 1)) + 1 + length(split_part(text, ' ', 2)))::BIGINT AS "end",
+  split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2) AS text
+FROM documents
+WHERE doc_id < {n} AND len(string_split(text, ' ')) >= 3"""
 
 
 def q_lexicon_lookup(query: str = "join", max_results: int = 5) -> str:

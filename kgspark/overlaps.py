@@ -98,6 +98,7 @@ def categorize_overlap(
     text_col: str = "text",
     experimental: bool = False,
     keep_type_col: bool = False,
+    span_unit: str = "char",
 ) -> DataFrame:
     """Adds the eight boolean ``ovl_*`` columns (R/overlaps.R:296-398).
 
@@ -180,7 +181,7 @@ def categorize_overlap(
     if experimental:
         x = _synthesize_inner_outer(
             x, part, start_col=start_col, end_col=end_col, uri_col=uri_col,
-            text_col=text_col,
+            text_col=text_col, span_unit=span_unit,
         )
 
     for flag in OVL_FLAGS:
@@ -206,12 +207,18 @@ def _synthesize_inner_outer(
     end_col: str,
     uri_col: str,
     text_col: str,
+    span_unit: str = "char",
 ) -> DataFrame:
     """Experimental inner/outer rows for partial groups (R/overlaps.R:331-379).
 
-    Text synthesis is the reference's 2-entity character arithmetic
+    Text synthesis is the reference's 2-entity arithmetic
     (R/overlaps.R:490-527); groups with more members get NULL text (the
     reference warns and returns NA, R/overlaps.R:491-496).
+    ``span_unit='char'`` = the character-vector path (substring
+    arithmetic); ``span_unit='token'`` = the CWB path, where start/end are
+    corpus positions and the synthesized text is the token stream over the
+    intersect/union range (get_combined_text's corpus branch,
+    R/overlaps.R:503-526).
     """
     s, e = F.col(start_col), F.col(end_col)
     has_types = "types" in x.columns
@@ -238,21 +245,23 @@ def _synthesize_inner_outer(
         *([F.first(F.col("types")).alias("_types")] if has_types else []),
     )
     # outer: [min_s, max_e]; text = setdiff-prefix of t1 (R/overlaps.R:513-519:
-    # left = setdiff(range1, range2) => min(e1 - s1 + 1, s2 - s1) chars) || t2
-    outer_text = F.when(
-        F.col("_n") == 2,
-        F.concat(
-            F.expr(
-                "substr(_t1, 1, cast(least(_e1 - _min_s + 1, _max_s - _min_s) as int))"
-            ),
+    # left = setdiff(range1, range2) => min(e1 - s1 + 1, s2 - s1) units) || t2
+    n_left = "cast(least(_e1 - _min_s + 1, _max_s - _min_s) as int)"
+    n_inner = "cast(_min_e - _max_s + 1 as int)"
+    if span_unit == "char":
+        outer_parts = [F.expr(f"substr(_t1, 1, {n_left})"), F.col("_t2")]
+        inner_expr = F.trim(F.expr(f"substr(_t2, 1, {n_inner})"))
+    elif span_unit == "token":
+        outer_parts = [
+            F.expr(f"array_join(slice(split(_t1, ' '), 1, {n_left}), ' ')"),
+            F.lit(" "),
             F.col("_t2"),
-        ),
-    )
-    # inner: [max_s, min_e]; text = trim(first (min_e - max_s + 1) chars of t2)
-    inner_text = F.when(
-        F.col("_n") == 2,
-        F.trim(F.expr("substr(_t2, 1, cast(_min_e - _max_s + 1 as int))")),
-    )
+        ]
+        inner_expr = F.expr(f"array_join(slice(split(_t2, ' '), 1, {n_inner}), ' ')")
+    else:
+        raise ValueError(f"unknown span_unit {span_unit!r}")
+    outer_text = F.when(F.col("_n") == 2, F.concat(*outer_parts))
+    inner_text = F.when(F.col("_n") == 2, inner_expr)
     shared = [F.col(c) for c in part] + [F.col("ovl_id")]
     types_cols = (
         [F.when(F.col("_n_uri") == 1, F.col("_types")).alias("types")]

@@ -58,11 +58,44 @@ def from_token_table(
 
 # ---------------------------------------------------------------------------
 # S6: TEI/XML source
-_TOKEN_TAG_RE = re.compile(
-    r"<(?P<tag>w|pc)\b(?P<attrs>[^>]*?)(?:/>|>(?P<body>[^<]*)</(?P=tag)\s*>)",
-    re.S,
-)
 _ATTR_RE = re.compile(r'(\w[\w:.-]*)\s*=\s*"([^"]*)"')
+_XMLNS_RE = re.compile(r'xmlns(?::([\w.-]+))?\s*=\s*"([^"]*)"')
+TEI_NS = "http://www.tei-c.org/ns/1.0"
+
+
+def _ns_prefix(xml: str) -> str:
+    """Resolve the namespace prefix token tags carry, mirroring
+    ``namespaced_xpath`` (R/xml.R:219-245): a single declared namespace is
+    used as-is; with several, the TEI namespace must be the first declared
+    one, otherwise the reference aborts with "Unspecified Namespace".
+    Returns '' when tags are unprefixed (no declaration, or a default
+    xmlns= declaration)."""
+    decls = _XMLNS_RE.findall(xml or "")
+    if not decls:
+        return ""
+    if len(decls) == 1:
+        return decls[0][0] or ""
+    tei = [i for i, (_, uri) in enumerate(decls) if TEI_NS in uri]
+    if tei and tei[0] == 0:
+        return decls[0][0] or ""
+    raise ValueError("Unspecified Namespace (mirrors R/xml.R:236)")
+
+
+def _token_tag_re(prefix: str, tags: tuple[str, ...] = ("w", "pc")) -> re.Pattern:
+    pfx = re.escape(prefix) + ":" if prefix else ""
+    alt = "|".join(tags)
+    return re.compile(
+        rf"<(?P<tag>{pfx}(?:{alt}))\b(?P<attrs>[^>]*?)(?:/>|>(?P<body>[^<]*)</(?P=tag)\s*>)",
+        re.S,
+    )
+
+
+def _feature_tag_re(prefix: str, feature_tag: str) -> re.Pattern:
+    pfx = re.escape(prefix) + ":" if prefix else ""
+    ft = re.escape(feature_tag)
+    return re.compile(
+        rf"<{pfx}{ft}\b(?P<attrs>[^>]*)>(?P<body>.*?)</{pfx}{ft}\s*>", re.S
+    )
 
 TEI_TOKENS_SCHEMA = T.ArrayType(
     T.StructType(
@@ -85,17 +118,22 @@ def parse_tei_tokens(xml: str) -> list[dict]:
     Mirrors to_annotation: a token is followed by a space unless it (or its
     successor) carries ``join`` ("right"/"left"/"both") — punctuation
     attaches to the preceding word (R/dbpedia.R:180-213). Offsets 1-based.
+    Namespace-aware: prefixed token tags (e.g. ``<tei:w>``) are resolved
+    through the document's xmlns declarations (R/xml.R:219-245).
     """
+    prefix = _ns_prefix(xml or "")
     toks = []
-    for m in _TOKEN_TAG_RE.finditer(xml or ""):
+    for m in _token_tag_re(prefix).finditer(xml or ""):
         attrs = dict(_ATTR_RE.findall(m.group("attrs") or ""))
         word = (m.group("body") or "").strip()
+        tag = m.group("tag").split(":", 1)[-1]
         toks.append(
             {
                 "token_id": attrs.get("xml:id") or attrs.get("id"),
-                "tag": m.group("tag"),
+                "tag": tag,
                 "word": word,
                 "join": attrs.get("join"),
+                "_xmlpos": m.start(),
             }
         )
     out, pos = [], 1
@@ -114,6 +152,31 @@ def parse_tei_tokens(xml: str) -> list[dict]:
     return out
 
 
+def parse_tei_features(xml: str, tokens: list[dict], feature_tag: str) -> list[dict]:
+    """Pre-annotated feature spans (e.g. ``<name type="...">`` wrapping
+    token runs): id = first child token id + '_' + feature_tag, kind =
+    @type, span = min/max of the child tokens' char offsets, text = child
+    words joined by spaces (to_annotation, R/dbpedia.R:255-303)."""
+    prefix = _ns_prefix(xml or "")
+    out = []
+    for m in _feature_tag_re(prefix, feature_tag).finditer(xml or ""):
+        attrs = dict(_ATTR_RE.findall(m.group("attrs") or ""))
+        children = [t for t in tokens if m.start() <= t["_xmlpos"] < m.end()]
+        if not children:
+            continue
+        out.append(
+            {
+                "feature_id": f"{children[0]['token_id']}_{feature_tag}",
+                "kind": attrs.get("type"),
+                "start": min(t["start"] for t in children),
+                "end": max(t["end"] for t in children),
+                "text": " ".join(t["word"] for t in children),
+                "token_ids": [t["token_id"] for t in children],
+            }
+        )
+    return out
+
+
 def reconstruct_tei_text(tokens: list[dict]) -> str:
     buf = []
     for i, t in enumerate(tokens):
@@ -124,28 +187,58 @@ def reconstruct_tei_text(tokens: list[dict]) -> str:
     return "".join(buf)
 
 
-def from_tei(df: DataFrame, xml_col: str = "xml", doc_col: str = "doc_id") -> DataFrame:
-    """(doc_id, xml) -> (doc_id, text, tokens array). Narrow pandas kernel."""
+TEI_FEATURES_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("feature_id", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("start", T.LongType()),
+            T.StructField("end", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("token_ids", T.ArrayType(T.StringType())),
+        ]
+    )
+)
+
+_TOKEN_FIELDS = [f.name for f in TEI_TOKENS_SCHEMA.elementType.fields]
+
+
+def from_tei(
+    df: DataFrame,
+    xml_col: str = "xml",
+    doc_col: str = "doc_id",
+    feature_tag: str | None = None,
+) -> DataFrame:
+    """(doc_id, xml) -> (doc_id, text, tokens[, features]). Narrow pandas
+    kernel. ``feature_tag`` extracts pre-annotated NE spans (the GermaParl
+    vignette path: <name type=...> elements wrapping token runs) alongside
+    the token stream, as to_annotation does (R/dbpedia.R:229-303)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             toks = [parse_tei_tokens(x) for x in pdf[xml_col]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[doc_col],
-                    "text": [reconstruct_tei_text(t) for t in toks],
-                    "tokens": toks,
-                }
-            )
+            cols = {
+                "doc_id": pdf[doc_col],
+                "text": [reconstruct_tei_text(t) for t in toks],
+                "tokens": [
+                    [{k: t[k] for k in _TOKEN_FIELDS} for t in ts] for ts in toks
+                ],
+            }
+            if feature_tag is not None:
+                cols["features"] = [
+                    parse_tei_features(x, ts, feature_tag)
+                    for x, ts in zip(pdf[xml_col], toks)
+                ]
+            yield pd.DataFrame(cols)
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", df.schema[doc_col].dataType),
-            T.StructField("text", T.StringType()),
-            T.StructField("tokens", TEI_TOKENS_SCHEMA),
-        ]
-    )
-    return df.mapInPandas(kernel, schema)
+    fields = [
+        T.StructField("doc_id", df.schema[doc_col].dataType),
+        T.StructField("text", T.StringType()),
+        T.StructField("tokens", TEI_TOKENS_SCHEMA),
+    ]
+    if feature_tag is not None:
+        fields.append(T.StructField("features", TEI_FEATURES_SCHEMA))
+    return df.mapInPandas(kernel, T.StructType(fields))
 
 
 # ---------------------------------------------------------------------------
@@ -222,13 +315,26 @@ HIGHLIGHT_COLORS = {
 DEFAULT_HIGHLIGHT = "lavender"
 
 
-def highlight_view(mentions: DataFrame, category_col: str = "category") -> DataFrame:
-    """Presentation colors per category (R/utils.R:150-156 mapping)."""
+def highlight_view(
+    mentions: DataFrame,
+    category_col: str = "category",
+    uri_col: str = "dbpedia_uri",
+) -> DataFrame:
+    """The full as_subcorpus annotation payload (R/utils.R:129-167):
+    per-category highlight color, href = entity URI, tooltip = URI or
+    '[no uri]'. The cpos matrix columns (cpos_left/cpos_right) ride along
+    when the caller composed alignment upstream — as_subcorpus requires
+    them (R/utils.R:160)."""
     expr = None
     for cat, color in HIGHLIGHT_COLORS.items():
         cond = F.col(category_col) == cat
         expr = F.when(cond, color) if expr is None else expr.when(cond, color)
-    return mentions.withColumn("color", expr.otherwise(DEFAULT_HIGHLIGHT))
+    out = mentions.withColumn("color", expr.otherwise(DEFAULT_HIGHLIGHT))
+    if uri_col in mentions.columns:
+        out = out.withColumn("href", F.col(uri_col)).withColumn(
+            "tooltip", F.coalesce(F.col(uri_col), F.lit("[no uri]"))
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

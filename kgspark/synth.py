@@ -122,17 +122,13 @@ LABEL_ROWS: list[tuple[str, str, str, str]] = [
     ("Q181593", "sorting algorithm", "P31", "instance of"),
 ]
 
-# Per-language marker words (reference ships per-language stopword lists
-# mirroring Spotlight's model-quickstarter, data-raw/stopwords.R:1-24).
-LANG_MARKERS: dict[str, list[str]] = {
-    "en": ["the", "a", "of", "and", "to", "in", "is"],
-    "de": ["der", "die", "das", "und", "zu", "ist", "ein"],
-    "es": ["el", "la", "de", "los", "y", "es", "un"],
-    "fr": ["le", "la", "les", "et", "des", "est", "un"],
-    "zh": ["de", "le", "shi", "wo", "bu", "zai", "ta"],
-}
+# Per-language stopword lists + disjoint language-marker sets live in
+# kgspark.stopwords (S11 — mirrors the reference's model-quickstarter
+# lists, data-raw/stopwords.R:1-24); re-exported here because the DuckDB
+# oracle and the corpus generator key on them.
+from kgspark.stopwords import LANG_MARKERS, STOPWORDS, stopwords_for  # noqa: F401
 
-EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for"]
+EN_STOPWORDS = STOPWORDS["en"]
 
 # ---------------------------------------------------------------------------
 # Golden fixture docs + mini-lexicon reproducing the reference's unit-test

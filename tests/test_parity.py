@@ -63,3 +63,83 @@ def test_triple_precision_recall_vs_reference_goldens(spark):
     recall = tp / len(gold)
     assert precision >= 0.95, f"precision {precision:.3f} (got-only: {sorted(got - gold)[:5]})"
     assert recall >= 0.95, f"recall {recall:.3f} (missing: {sorted(gold - got)[:5]})"
+
+
+# ---------------------------------------------------------------------------
+# Reference golden tables transcribed verbatim from the R test suite —
+# these fixtures were NOT used to build the engine's lexicon, so they
+# measure parity against reference-derived data.
+def test_reuters_cpos_categorize_golden(spark):
+    """tests/testthat/test-categorize_overlaps.R (REUTERS id=353, cpos
+    spans): 4 non-NA rows, the exact texts, the concatenated URI of the
+    outer row, and its 8-flag vector (F,F,F,T,T,T,F,F)."""
+    from pyspark.sql import functions as F
+
+    from kgspark.overlaps import OVL_FLAGS, categorize_overlap, detect_overlap
+
+    # Spotlight's annotations for "Crude oil prices fell ..." mapped to
+    # corpus positions: 'Crude oil'=[1,2], 'oil'=[2,2], 'oil prices fell'=[2,4]
+    rows = [
+        (1, 2, "Crude oil", "http://dbpedia.org/resource/West_Texas_Intermediate"),
+        (2, 4, "oil prices fell", "http://dbpedia.org/resource/1980s_oil_glut"),
+    ]
+    anno = spark.createDataFrame(rows, ["cpos_left", "cpos_right", "text", "dbpedia_uri"])
+    detected = detect_overlap(
+        anno, doc_col=None, start_col="cpos_left", end_col="cpos_right"
+    )
+    y = categorize_overlap(
+        detected,
+        doc_col=None,
+        start_col="cpos_left",
+        end_col="cpos_right",
+        experimental=True,
+        keep_type_col=True,
+        span_unit="token",
+    )
+    ymin = y.filter(F.col("ovl_id").isNotNull()).collect()
+    assert len(ymin) == 4
+    texts = {r["text"] for r in ymin}
+    assert {"Crude oil", "Crude oil prices fell", "oil prices fell", "oil"} <= texts
+    outer = [r for r in ymin if r["text"] == "Crude oil prices fell"][0]
+    assert outer["dbpedia_uri"] == (
+        "http://dbpedia.org/resource/West_Texas_Intermediate|"
+        "http://dbpedia.org/resource/1980s_oil_glut"
+    )
+    assert [bool(outer[f]) for f in OVL_FLAGS] == [
+        False, False, False, True, True, True, False, False,
+    ]
+    inner = [r for r in ymin if r["text"] == "oil"][0]
+    assert (inner["cpos_left"], inner["cpos_right"]) == (2, 2)
+
+
+def test_detect_overlap_id_naming_goldens(spark):
+    """test-detect_overlaps.R: character path (no doc col) labels the one
+    group 'ovl_1'; the quanteda multi-doc path labels doc 2's group
+    'ovl_2_1'. Exactly 2 non-NA rows in both scenarios."""
+    from pyspark.sql import functions as F
+
+    from kgspark.overlaps import detect_overlap
+
+    gore = [
+        (1, "Vice President Gore", "dbr:Al_Gore"),
+        (16, "Gore", "dbr:Al_Gore"),
+        (24, "Washington D.C.", "dbr:Washington,_D.C."),
+    ]
+    x = detect_overlap(
+        spark.createDataFrame(gore, ["start", "text", "dbpedia_uri"]), doc_col=None
+    )
+    non_na = x.filter(F.col("ovl_id").isNotNull()).collect()
+    assert len(non_na) == 2
+    assert {r["ovl_id"] for r in non_na} == {"ovl_1"}
+
+    multi = [
+        ("1", 5, "no overlap here", "u0"),
+        ("2", 1, "Vice President Gore", "dbr:Al_Gore"),
+        ("2", 16, "Gore", "dbr:Al_Gore"),
+    ]
+    y = detect_overlap(
+        spark.createDataFrame(multi, ["doc_id", "start", "text", "dbpedia_uri"])
+    )
+    non_na = y.filter(F.col("ovl_id").isNotNull()).collect()
+    assert len(non_na) == 2
+    assert {r["ovl_id"] for r in non_na} == {"ovl_2_1"}

@@ -77,3 +77,85 @@ def test_highlight_view_colors(spark):
     )
     got = [r["color"] for r in highlight_view(m).collect()]
     assert got == ["yellow", "lightgreen", "lightskyblue", "lightgrey", "lavender"]
+
+
+# ---------------------------------------------------------------------------
+# TEI namespaces + pre-annotated feature spans (R/xml.R:219-245,
+# R/dbpedia.R:255-303)
+NS_TEI = (
+    '<tei:s xmlns:tei="http://www.tei-c.org/ns/1.0">'
+    '<tei:name type="LOC"><tei:w xml:id="t0">Washington</tei:w>'
+    '<tei:w xml:id="t1" join="left">D.C.</tei:w></tei:name>'
+    '<tei:w xml:id="t2">greets</tei:w>'
+    '<tei:w xml:id="t3">visitors</tei:w></tei:s>'
+)
+
+
+def test_tei_namespaced_tokens_and_features():
+    from kgspark.sources import parse_tei_features, parse_tei_tokens
+
+    toks = parse_tei_tokens(NS_TEI)
+    assert [t["word"] for t in toks] == ["Washington", "D.C.", "greets", "visitors"]
+    assert [t["tag"] for t in toks] == ["w", "w", "w", "w"]
+    # join="left" glues D.C. to Washington: offsets 1..10, 11..14
+    assert (toks[0]["start"], toks[0]["end"]) == (1, 10)
+    assert (toks[1]["start"], toks[1]["end"]) == (11, 14)
+    feats = parse_tei_features(NS_TEI, toks, "name")
+    assert len(feats) == 1
+    f = feats[0]
+    assert f["feature_id"] == "t0_name"
+    assert f["kind"] == "LOC"
+    assert (f["start"], f["end"]) == (1, 14)
+    assert f["text"] == "Washington D.C."
+    assert f["token_ids"] == ["t0", "t1"]
+
+
+def test_tei_default_namespace_and_unprefixed():
+    from kgspark.sources import parse_tei_tokens
+
+    default_ns = (
+        '<s xmlns="http://www.tei-c.org/ns/1.0"><w xml:id="a">hi</w></s>'
+    )
+    assert [t["word"] for t in parse_tei_tokens(default_ns)] == ["hi"]
+
+
+def test_tei_foreign_namespace_aborts():
+    import pytest as _pt
+    from kgspark.sources import parse_tei_tokens
+
+    bad = (
+        '<s xmlns:x="http://example.org/other" '
+        'xmlns:tei="http://www.tei-c.org/ns/1.0"><x:w>no</x:w></s>'
+    )
+    with _pt.raises(ValueError, match="Unspecified Namespace"):
+        parse_tei_tokens(bad)
+
+
+def test_expand_to_token_contract(spark):
+    """Mirror of tests/testthat/test-expand_to_token.R: a span off token
+    boundaries is dropped with expand_to_token=FALSE and alignable with
+    TRUE — n vs n+1 rows (the reference's 10 vs 11 on REUTERS id=194)."""
+    from kgspark.align import align_mentions, drop_inexact, token_table
+
+    docs = spark.createDataFrame([("d", "the part of data")], ["doc_id", "text"])
+    toks = token_table(docs, doc_col="doc_id")
+    mentions = spark.createDataFrame(
+        [("d", 5, "part"), ("d", 6, "art")], ["doc_id", "start", "text"]
+    )
+    exact = drop_inexact(align_mentions(mentions, toks, expand_to_token=False))
+    expanded = drop_inexact(align_mentions(mentions, toks, expand_to_token=True))
+    assert exact.count() == 1
+    assert expanded.count() == 2
+    art = {r["text"]: r for r in expanded.collect()}["art"]
+    assert (art["cpos_left"], art["cpos_right"]) == (2, 2)
+
+
+def test_highlight_view_href_tooltip(spark):
+    m = spark.createDataFrame(
+        [("PERSON", "dbr:Al_Gore"), ("MISC", None)], ["category", "dbpedia_uri"]
+    )
+    rows = {r["category"]: r for r in highlight_view(m).collect()}
+    assert rows["PERSON"]["href"] == "dbr:Al_Gore"
+    assert rows["PERSON"]["tooltip"] == "dbr:Al_Gore"
+    assert rows["MISC"]["href"] is None
+    assert rows["MISC"]["tooltip"] == "[no uri]"

@@ -188,3 +188,16 @@ def test_simhash_banded_recall_is_total(spark):
     expect = {(r["da"], r["db"]) for r in exact.collect()}
     assert expect, "fixture produced no close pairs — test is vacuous"
     assert banded == expect
+
+
+def test_lang_id_accuracy_on_synth_corpus(spark):
+    """Rich disjoint marker sets must recover the generator's language on
+    a clear majority of docs (markers are sprinkled ~n/20 per doc)."""
+    from kgspark import synth, textops
+
+    docs = synth.synth_documents(spark, n_docs=200)
+    scored = docs.select(
+        "lang", textops.lang_id(F.col("text")).alias("pred")
+    )
+    acc = scored.filter(F.col("pred") == F.col("lang")).count() / scored.count()
+    assert acc >= 0.8, f"lang-id accuracy {acc:.2f} below floor"
