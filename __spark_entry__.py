@@ -39,7 +39,13 @@ from kgspark.multimodal import (
     media_table,
     sample_video_frames,
 )
-from kgspark.overlaps import OVL_FLAGS, categorize_overlap, detect_overlap, resolve_overlap
+from kgspark.overlaps import (
+    OVL_FLAGS,
+    categorize_overlap,
+    detect_overlap,
+    overlap_pipeline,
+    resolve_overlap,
+)
 from kgspark.segment import segment_documents, stitch_filter
 from kgspark.similarity import (
     cosine_topk,
@@ -47,7 +53,14 @@ from kgspark.similarity import (
     hyperplane_lsh_topk,
     lsh_recall,
 )
-from kgspark.sources import from_spotlight_json, from_tei, from_token_table, highlight_view, lookup
+from kgspark.sources import (
+    enrich_tei,
+    from_spotlight_json,
+    from_tei,
+    from_token_table,
+    highlight_view,
+    lookup,
+)
 from kgspark.spot import spot_documents, spot_segments
 from kgspark.streaming import sessionize
 from kgspark import textops
@@ -88,10 +101,11 @@ def _linked(spark, sf_dir):
 
 
 def _resolved(spark, sf_dir):
-    detected = detect_overlap(_linked(spark, sf_dir), doc_col="doc_id")
-    categorized = categorize_overlap(detected, doc_col="doc_id")
-    return resolve_overlap(
-        categorized, keep=["longest", "shortest"], tiebreak="first", doc_col="doc_id"
+    return overlap_pipeline(
+        _linked(spark, sf_dir),
+        keep=["longest", "shortest"],
+        tiebreak="first",
+        doc_col="doc_id",
     )
 
 
@@ -292,8 +306,17 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
+    """Exact O(n²) baseline — recall yardstick for the bucketed path;
+    only runnable on small slices."""
     return embedding_near_duplicates(
         _load(spark, sf_dir, "embeddings"), threshold=0.4, exact=True
+    )
+
+
+def q_embed_neardup_lsh(spark, sf_dir):
+    """The scale path: multi-table sketch buckets; equi-join, no all-pairs."""
+    return embedding_near_duplicates(
+        _load(spark, sf_dir, "embeddings"), threshold=0.4, n_tables=8
     )
 
 
@@ -457,6 +480,51 @@ def q_tei_roundtrip(spark, sf_dir):
     return from_tei(tei).select("doc_id", "text")
 
 
+def q_tei_enrich(spark, sf_dir):
+    """K2 sink roundtrip: build plain TEI, write a <name ref type> wrapper
+    around the first two tokens with enrich_tei, re-parse with
+    feature_tag='name' — the recovered feature rows (incl. the written ref
+    attribute) are the oracle-checked proof the sink serializes correctly."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    ws = F.split(F.col("text"), " ")
+    tei = docs.filter(F.size(ws) >= 3).select(
+        "doc_id",
+        F.concat(
+            F.lit("<s>"),
+            F.array_join(
+                F.transform(
+                    ws,
+                    lambda w, i: F.concat(
+                        F.lit('<w xml:id="t'), i.cast("string"), F.lit('">'),
+                        w, F.lit("</w>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</s>"),
+        ).alias("xml"),
+        F.array(
+            F.struct(
+                F.array(F.lit("t0"), F.lit("t1")).alias("token_ids"),
+                F.concat(F.lit("dbr:E"), F.col("doc_id").cast("string")).alias("ref"),
+                F.lit("NE").alias("type"),
+            )
+        ).alias("mentions"),
+    )
+    enriched = enrich_tei(tei)
+    reparsed = from_tei(enriched, feature_tag="name")
+    f = F.explode(F.col("features")).alias("f")
+    return reparsed.select("doc_id", f).select(
+        "doc_id",
+        F.col("f.feature_id").alias("feature_id"),
+        F.col("f.kind").alias("kind"),
+        F.col("f.ref").alias("ref"),
+        F.col("f.start").alias("start"),
+        F.col("f.end").alias("end"),
+        F.col("f.text").alias("text"),
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     return hyperplane_lsh_topk(
         _load(spark, sf_dir, "embeddings"),
@@ -518,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_tokens_exact": q_align_exact,
         "align_regions": q_align_regions,
         "tei_features": q_tei_features,
+        "tei_enrich_roundtrip": q_tei_enrich,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "token_counts": q_token_counts,
@@ -527,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_simhash": q_dedup_simhash,
         "embed_neardup": q_embed_neardup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
         "embed_cosine_topk": q_embed_topk,
         "events_sessionize": q_sessionize,
         "tpch_pricing": q_tpch_pricing,
@@ -565,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         "align_tokens_exact": oracles.q_align_exact(),
         "align_regions": oracles.q_align_regions(),
         "tei_features": oracles.q_tei_features(n=100),
+        "tei_enrich_roundtrip": oracles.q_tei_enrich(n=50),
         "lang_id": oracles.q_lang_id(),
         "quality_score": oracles.q_quality(),
         "token_counts": oracles.q_token_counts(),
@@ -576,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_simhash": oracles.q_dedup_simhash(),
         "embed_neardup": oracles.q_embed_neardup(threshold=0.4),
+        "embed_neardup_lsh": oracles.q_embed_neardup_lsh(threshold=0.4, n_tables=8),
         "embed_cosine_topk": oracles.q_embed_topk(),
         "events_sessionize": oracles.q_sessionize(),
         "tpch_pricing": oracles.q_tpch_pricing(),

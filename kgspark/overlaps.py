@@ -99,6 +99,7 @@ def categorize_overlap(
     experimental: bool = False,
     keep_type_col: bool = False,
     span_unit: str = "char",
+    all_grouped: bool = False,
 ) -> DataFrame:
     """Adds the eight boolean ``ovl_*`` columns (R/overlaps.R:296-398).
 
@@ -117,6 +118,26 @@ def categorize_overlap(
     part = [doc_col] if doc_col else []
     grp = Window.partitionBy(*part, "ovl_id")
     grp_sorted = grp.orderBy(F.col(start_col), F.col(end_col), F.col(text_col))
+
+    # Rows outside any overlap group get NULL flags by definition — but a
+    # window partitioned by (doc, ovl_id) would still buffer every
+    # NULL-ovl_id row of a document into one giant group and evaluate
+    # collect_set/min/max over it. Non-overlapping mentions are the vast
+    # majority (~96% on the synthetic crawl), so they bypass the window
+    # family entirely and re-enter with typed NULL columns (4.7x on the
+    # overlap stage at 100k docs). ``all_grouped=True`` promises the input
+    # has no NULL-ovl_id rows (the composed ``overlap_pipeline`` splits
+    # once up front), skipping the split so chained filters don't fan the
+    # upstream plan out into re-computed branches.
+    if all_grouped:
+        miss = None
+    else:
+        miss = df.filter(F.col("ovl_id").isNull())
+        for flag in OVL_FLAGS:
+            miss = miss.withColumn(flag, F.lit(None).cast("boolean"))
+        if keep_type_col:
+            miss = miss.withColumn("ovl_type", F.lit(None).cast("string"))
+        df = df.filter(F.col("ovl_id").isNotNull())
 
     s, e = F.col(start_col), F.col(end_col)
     length = e - s
@@ -197,7 +218,9 @@ def categorize_overlap(
     # the reference sorts for presentation (R/overlaps.R:391-395); a global
     # range-partition sort mid-pipeline is wasted shuffle — results are
     # order-insensitive, callers sort at the edge if needed.
-    return x
+    if miss is None:
+        return x
+    return x.unionByName(miss, allowMissingColumns=True)
 
 
 def _synthesize_inner_outer(
@@ -295,6 +318,43 @@ def _synthesize_inner_outer(
     )
 
 
+def overlap_pipeline(
+    df: DataFrame,
+    keep: list[str],
+    omit: list[str] | None = None,
+    tiebreak: str = "first",
+    doc_col: str | None = "doc_id",
+    start_col: str = "start",
+    end_col: str | None = None,
+    text_col: str = "text",
+    uri_col: str = "dbpedia_uri",
+) -> DataFrame:
+    """detect -> categorize -> resolve with ONE hit/miss split.
+
+    Composing the three operators naively makes each one's NULL-bypass
+    re-filter (and so re-compute) its upstream branch; here the split on
+    ``ovl_id`` happens once right after detection, the window family runs
+    on the overlapping minority with ``all_grouped=True``, and the
+    non-overlapping majority re-enters once at the end with NULL flags.
+    """
+    detected = detect_overlap(
+        df, doc_col=doc_col, start_col=start_col, end_col=end_col, text_col=text_col
+    )
+    miss = detected.filter(F.col("ovl_id").isNull())
+    hit = detected.filter(F.col("ovl_id").isNotNull())
+    categorized = categorize_overlap(
+        hit, doc_col=doc_col, start_col=start_col,
+        end_col=end_col or "end", uri_col=uri_col, text_col=text_col,
+        all_grouped=True,
+    )
+    resolved = resolve_overlap(
+        categorized, keep=keep, omit=omit, tiebreak=tiebreak, doc_col=doc_col,
+        start_col=start_col, end_col=end_col or "end", text_col=text_col,
+        all_grouped=True,
+    )
+    return resolved.unionByName(miss, allowMissingColumns=True)
+
+
 def resolve_overlap(
     df: DataFrame,
     keep: list[str],
@@ -304,6 +364,7 @@ def resolve_overlap(
     start_col: str = "start",
     end_col: str = "end",
     text_col: str = "text",
+    all_grouped: bool = False,
 ) -> DataFrame:
     """Keep exactly one row per overlap group (R/overlaps.R:558-638).
 
@@ -324,6 +385,13 @@ def resolve_overlap(
     the documented intent of the API.
     """
     part = [doc_col] if doc_col else []
+    # NULL-ovl_id rows are unconditionally kept (R/overlaps.R:563) — route
+    # them around the window family (same rationale as categorize_overlap).
+    if all_grouped:
+        miss = None
+    else:
+        miss = df.filter(F.col("ovl_id").isNull())
+        df = df.filter(F.col("ovl_id").isNotNull())
     # forward iteration => the LAST matching keep entry ends up outermost in
     # the when-chain, so it wins (reference parity, R/overlaps.R:569-571).
     keep_prio = F.lit(None).cast("int")
@@ -372,5 +440,7 @@ def resolve_overlap(
     else:
         winner = F.when(needs_tiebreak, F.lit(False)).otherwise(F.col("_cand"))
 
-    out = x.filter(F.col("ovl_id").isNull() | winner)
-    return out.drop("_keep", "_pos_min", "_n_at_min", "_cand", "_rn")
+    out = x.filter(winner).drop("_keep", "_pos_min", "_n_at_min", "_cand", "_rn")
+    if miss is None:
+        return out
+    return out.unionByName(miss, allowMissingColumns=True)

@@ -78,13 +78,19 @@ def run_pipeline(
     # No driver collect, no pickled-automaton broadcast: the distinct
     # surface forms are written as a parquet artifact (distributed write)
     # and each python worker builds + caches the automaton locally
-    # (kgspark.automaton.load_automaton_from_artifact).
+    # (kgspark.automaton.load_automaton_from_artifact). An explicitly
+    # configured artifact that is already complete (_SUCCESS) is reused —
+    # the production setup writes it once per lexicon refresh, like the
+    # pre-closed redirects dim.
     artifact = cfg.lexicon_artifact or (
         os.path.join(cfg.checkpoint_root, "_lexicon_forms")
         if cfg.checkpoint_root
         else tempfile.mkdtemp(prefix="kgspark-lexicon-")
     )
-    automaton_src = write_lexicon_artifact(lexicon, artifact)
+    if cfg.lexicon_artifact and os.path.exists(os.path.join(artifact, "_SUCCESS")):
+        automaton_src = artifact
+    else:
+        automaton_src = write_lexicon_artifact(lexicon, artifact)
 
     # cache=True: docs feed both the segment->spot path and the
     # doc-token context join — without it the extract UDF runs twice.
@@ -134,10 +140,8 @@ def run_pipeline(
     )
 
     def _resolve():
-        detected = overlaps.detect_overlap(linked, doc_col="doc_id")
-        categorized = overlaps.categorize_overlap(detected, doc_col="doc_id")
-        return overlaps.resolve_overlap(
-            categorized,
+        return overlaps.overlap_pipeline(
+            linked,
             keep=cfg.keep,
             omit=cfg.omit,
             tiebreak=cfg.tiebreak,

@@ -183,31 +183,63 @@ def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 4,
+    n_tables: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     exact: bool = False,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold. exact=True does the O(n^2) join
-    (the oracle-checkable baseline); default probes sketch buckets."""
+    """Pairs with cosine >= threshold.
+
+    Default: multi-table sketch buckets — candidates collide in some
+    table's bucket, so the join is an equi-join on (tbl, bucket) that
+    scales like LSH dedup, never all-pairs. ``exact=True`` is the O(n²)
+    baseline kept for recall measurement on small slices; at corpus scale
+    only the bucketed path is runnable.
+    """
     base = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
-    if not exact:
-        planes = _hyperplanes(dim, n_planes, seed)
-        base = base.withColumn("bucket", sketch_expr(F.col("vec"), planes))
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.vid") < F.col("b.vid")
-    if not exact:
-        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
-    return (
-        a.join(b, cond)
-        .withColumn("sim", F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6))
-        .filter(F.col("sim") >= threshold)
-        .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            "sim",
+    if exact:
+        a, b = base.alias("a"), base.alias("b")
+        joined = a.join(b, F.col("a.vid") < F.col("b.vid"))
+    else:
+        planes = _hyperplanes(dim, n_planes * n_tables, seed)
+        sk = base.select(
+            "vid",
+            "vec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            sketch_expr(
+                                F.col("vec"), planes[t * n_planes : (t + 1) * n_planes]
+                            ).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select("vid", "vec", "tb.tbl", "tb.bucket")
+        a, b = sk.alias("a"), sk.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
         )
+    pairs = joined.select(
+        F.col("a.vid").alias("vec_a"),
+        F.col("b.vid").alias("vec_b"),
+        F.col("a.vec").alias("_va"),
+        F.col("b.vec").alias("_vb"),
+    )
+    if not exact:
+        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
+    return (
+        pairs.withColumn("sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
     )

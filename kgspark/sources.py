@@ -168,6 +168,7 @@ def parse_tei_features(xml: str, tokens: list[dict], feature_tag: str) -> list[d
             {
                 "feature_id": f"{children[0]['token_id']}_{feature_tag}",
                 "kind": attrs.get("type"),
+                "ref": attrs.get("ref"),
                 "start": min(t["start"] for t in children),
                 "end": max(t["end"] for t in children),
                 "text": " ".join(t["word"] for t in children),
@@ -192,6 +193,7 @@ TEI_FEATURES_SCHEMA = T.ArrayType(
         [
             T.StructField("feature_id", T.StringType()),
             T.StructField("kind", T.StringType()),
+            T.StructField("ref", T.StringType()),
             T.StructField("start", T.LongType()),
             T.StructField("end", T.LongType()),
             T.StructField("text", T.StringType()),
@@ -248,8 +250,15 @@ def enrich_tei_document(xml: str, mentions: list[dict], entity_name: str = "name
     ref/type attributes with '|' on conflict (R/xml.R:30-209 semantics,
     regex-based). ``mentions``: dicts with token_ids (list), ref, type."""
     out = xml
-    for m in sorted(mentions, key=lambda m: -len(m.get("token_ids") or [])):
-        ids = m.get("token_ids") or []
+
+    def _ids(m):
+        # token_ids may arrive as a numpy array from an Arrow batch, whose
+        # truthiness is ambiguous — normalize to a plain list
+        v = m.get("token_ids")
+        return [] if v is None else list(v)
+
+    for m in sorted(mentions, key=lambda m: -len(_ids(m))):
+        ids = _ids(m)
         if not ids:
             continue
         first, last = ids[0], ids[-1]
@@ -271,23 +280,36 @@ def enrich_tei_document(xml: str, mentions: list[dict], entity_name: str = "name
 
 
 def enrich_tei(
-    df: DataFrame, xml_col: str = "xml", mentions_col: str = "mentions"
+    df: DataFrame,
+    xml_col: str = "xml",
+    mentions_col: str = "mentions",
+    doc_col: str = "doc_id",
+    entity_name: str = "name",
 ) -> DataFrame:
-    """Per-doc reserialization as a pandas kernel (optional sink)."""
+    """Per-doc reserialization as a pandas kernel (K2 sink). ``mentions``
+    is an array of struct(token_ids, ref, type) per document."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    "doc_id": pdf[doc_col],
                     "xml": [
-                        enrich_tei_document(x, m or [])
-                        for x, m in zip(pdf[xml_col], pdf[mentions_col])
+                        enrich_tei_document(
+                            x, [dict(m) for m in (ms if ms is not None else [])],
+                            entity_name=entity_name,
+                        )
+                        for x, ms in zip(pdf[xml_col], pdf[mentions_col])
                     ],
                 }
             )
 
-    schema = "doc_id string, xml string"
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[doc_col].dataType),
+            T.StructField("xml", T.StringType()),
+        ]
+    )
     return df.mapInPandas(kernel, schema)
 
 

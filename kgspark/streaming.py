@@ -57,6 +57,77 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id string, n_events long, "
+    "session_start long, session_end long, total_value double"
+)
+SESSION_STATE_SCHEMA = "sess_n long, start long, last long, n long, total double"
+
+
+def streaming_sessionize(
+    events_stream: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the stream-native twin of ``sessionize``).
+
+    Per user the state holds the open session (counter, start, last event
+    time, aggregates); a batch's events extend or close it — closed
+    sessions are emitted with the same ``user-sessN`` ids and aggregate
+    columns as the batch operator, and the open session survives in the
+    state store across micro-batches (checkpoint-durable, so an
+    incremental crawl resumes mid-session). Open sessions are emitted
+    only when closed by a later event; a production deployment would add
+    an event-time timeout to flush idle users.
+    """
+    import pandas as pd
+
+    gap_sec = gap_minutes * 60
+
+    def fn(key, pdfs, state):
+        user_id = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_sec", "event_id"])
+        if state.exists:
+            sess_n, start, last, n, total = state.get
+        else:
+            sess_n, start, last, n, total = (1, None, None, 0, 0.0)
+        out = []
+        for ts, val in zip(rows["ts_sec"], rows["value"]):
+            ts, val = int(ts), float(val)
+            if start is None:
+                start, last, n, total = ts, ts, 1, val
+            elif ts - last > gap_sec:
+                out.append((user_id, f"{user_id}-{sess_n}", n, start, last,
+                            round(total, 6)))
+                sess_n += 1
+                start, last, n, total = ts, ts, 1, val
+            else:
+                last, n, total = ts, n + 1, total + val
+        state.update((sess_n, start, last, n, total))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "session_id", "n_events",
+                         "session_start", "session_end", "total_value"],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepared = events_stream.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("ts_sec"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_doc_counts(spark, docs_path: str, window: str = "1 hour") -> DataFrame:
     """readStream over a parquet documents directory -> watermarked windowed
     counts per lang. Returned unstarted (caller picks sink/trigger)."""

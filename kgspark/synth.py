@@ -284,6 +284,88 @@ def synth_documents(spark, n_docs: int = 200, seed: int = 42, **kwargs):
     )
 
 
+# ---------------------------------------------------------------------------
+# Distributed synthesis: per-doc-independent seeding so each executor
+# generates its own partition of the corpus (the driver-side pandas loop
+# above caps out ~10^5 docs; bench/scaling corpora need 10^5-10^6+).
+_LANG_CYCLE = ["en", "en", "en", "de", "es", "fr", "zh"]
+
+
+def _doc_rng(i: int, seed: int) -> np.random.RandomState:
+    return np.random.RandomState((seed * 1_000_003 + i * 2_654_435_761) % (2**31 - 1))
+
+
+def _gen_base_text(i: int, seed: int, long_doc_every: int, long_doc_words: int,
+                   min_words: int, max_words: int) -> tuple[str, str]:
+    """(text, lang) for doc i, ignoring duplication — a pure function of
+    (i, seed) so duplicate docs can recompute their source text locally."""
+    rng = _doc_rng(i, seed)
+    lang = _LANG_CYCLE[int(rng.randint(0, len(_LANG_CYCLE)))]
+    n_words = long_doc_words if i % long_doc_every == 5 else int(
+        rng.randint(min_words, max_words)
+    )
+    words = [VOCAB[int(k)] for k in rng.randint(0, len(VOCAB), size=n_words)]
+    markers = LANG_MARKERS[lang]
+    for _ in range(max(2, n_words // 20)):
+        words[int(rng.randint(0, n_words))] = markers[int(rng.randint(0, len(markers)))]
+    n_pars = int(rng.randint(1, 4))
+    cuts = (
+        sorted(rng.choice(np.arange(1, n_words), size=n_pars - 1, replace=False))
+        if n_pars > 1
+        else []
+    )
+    pars, prev = [], 0
+    for c in list(cuts) + [n_words]:
+        pars.append(" ".join(words[prev:c]))
+        prev = c
+    return "\n".join(p for p in pars if p), lang
+
+
+def gen_doc_row(i: int, seed: int = 42, long_doc_every: int = 23,
+                long_doc_words: int = 900, min_words: int = 40,
+                max_words: int = 120, dup_rate: float = 0.04) -> tuple:
+    rng = _doc_rng(~i & 0x7FFFFFFF, seed)  # separate stream for dup routing
+    if i > 0 and rng.rand() < dup_rate:
+        src = int(rng.randint(0, i))
+        text, _ = _gen_base_text(src, seed, long_doc_every, long_doc_words,
+                                 min_words, max_words)
+        lang = _gen_base_text(i, seed, long_doc_every, long_doc_words,
+                              min_words, max_words)[1]
+    else:
+        text, lang = _gen_base_text(i, seed, long_doc_every, long_doc_words,
+                                    min_words, max_words)
+    html = build_html(text, i)
+    gt = extract_text_from_html(html)
+    assert gt == text, f"generator/extractor out of sync for doc {i}"
+    base_ts = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+    return (
+        f"https://example.org/doc/{i}",
+        base_ts + _dt.timedelta(seconds=i),
+        html,
+        gt,
+        lang,
+    )
+
+
+def synth_documents_distributed(spark, n_docs: int, seed: int = 42,
+                                parts: int | None = None, **kwargs):
+    """Executor-side corpus generation via mapInPandas over spark.range —
+    the input_hint-shaped table at bench scale without a driver loop."""
+    from kgspark.schemas import DOCUMENTS_SCHEMA
+
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    ids = spark.range(
+        0, n_docs, 1, parts or spark.sparkContext.defaultParallelism * 2
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = [gen_doc_row(int(i), seed, **kwargs) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return ids.mapInPandas(kernel, DOCUMENTS_SCHEMA)
+
+
 def golden_documents(spark):
     from kgspark.schemas import DOCUMENTS_SCHEMA
 

@@ -27,3 +27,58 @@ def test_streaming_doc_counts_available_now(spark, tmp_path):
     assert got == 50
     langs = {r["lang"] for r in spark.sql(f"SELECT DISTINCT lang FROM {qname}").collect()}
     assert "en" in langs
+
+
+def test_streaming_sessionize_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions close on gap within
+    a batch AND across micro-batches (state survives via the checkpoint —
+    the incremental-crawl resume story)."""
+    import pandas as pd
+
+    ev_dir = str(tmp_path / "events")
+    ck_dir = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "sessions")
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], utc=True)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    def run_once():
+        from kgspark.streaming import streaming_sessionize
+
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(ev_dir)
+        # file sink (not memory): it supports checkpoint recovery, which is
+        # exactly the cross-batch state story under test
+        q = (
+            streaming_sessionize(stream, gap_minutes=30)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        return {r["session_id"]: r for r in spark.read.parquet(out_dir).collect()}
+
+    # batch 1: session A (2 events), then a gap, session B opens (stays in state)
+    write_batch([
+        (1, "2026-01-01 00:00", 7, 1.0),
+        (2, "2026-01-01 00:10", 7, 2.0),
+        (3, "2026-01-01 02:00", 7, 3.0),
+    ])
+    rows = run_once()
+    assert set(rows) == {"7-1"}
+    assert rows["7-1"]["n_events"] == 2 and rows["7-1"]["total_value"] == 3.0
+
+    # batch 2: a far-future event closes session B (opened in batch 1)
+    write_batch([(4, "2026-01-01 05:00", 7, 4.0)])
+    rows = run_once()
+    assert "7-2" in rows
+    assert rows["7-2"]["n_events"] == 1 and rows["7-2"]["total_value"] == 3.0

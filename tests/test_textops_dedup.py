@@ -201,3 +201,20 @@ def test_lang_id_accuracy_on_synth_corpus(spark):
     )
     acc = scored.filter(F.col("pred") == F.col("lang")).count() / scored.count()
     assert acc >= 0.8, f"lang-id accuracy {acc:.2f} below floor"
+
+
+def test_embed_neardup_bucketed_recall_floor(spark):
+    """Bucketed near-dup pairs are a subset of the exact pairs with a
+    measured recall floor (8 tables, random vectors — LSH's worst case)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_duplicates(emb, threshold=0.4, exact=True).collect()
+    }
+    bucketed = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_duplicates(emb, threshold=0.4, n_tables=8).collect()
+    }
+    assert bucketed <= exact
+    if exact:
+        assert len(bucketed) / len(exact) >= 0.5
