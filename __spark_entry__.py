@@ -528,16 +528,16 @@ def q_tei_enrich(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):
     return hyperplane_lsh_topk(
         _load(spark, sf_dir, "embeddings"),
-        query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4, n_tables=8,
+        query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4, n_tables=8, multiprobe=True,
     ).select("query_id", "neighbor_id", "rank")
 
 
 def q_ann_recall(spark, sf_dir):
-    """recall@k of the multi-table LSH probe vs exact brute force —
+    """recall@k of the multi-table multiprobe LSH vs exact brute force —
     quantifies the approximation; the oracle recomputes the same number."""
     return lsh_recall(
         _load(spark, sf_dir, "embeddings"),
-        query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4, n_tables=8,
+        query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4, n_tables=8, multiprobe=True,
     )
 
 
@@ -660,6 +660,6 @@ def oracle_sql() -> dict[str, str]:
         "media_features": oracles.q_media_features(n=48),
         "video_frame_sample": oracles.q_video_frames(n=48, every_ms=5000),
         "tei_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 50",
-        "ann_lsh_bucketed": oracles.q_ann_lsh(n_tables=8),
-        "ann_lsh_recall": oracles.q_ann_recall(n_tables=8),
+        "ann_lsh_bucketed": oracles.q_ann_lsh(n_tables=8, multiprobe=True),
+        "ann_lsh_recall": oracles.q_ann_recall(n_tables=8, multiprobe=True),
     }

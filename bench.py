@@ -102,9 +102,16 @@ def main() -> None:
         "tpch_pricing",
         "nation_revenue",
     ]:
-        t0 = time.time()
+        # warm pass (codegen/scan-cache), then 2 measured passes, report the
+        # min — single-pass timings on this VM record 30-40% host-CPU swings
+        # as 10x phantoms (round-2 verdict: 44 s recorded vs 4.7 s re-run)
         _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        measured = []
+        for _ in range(2):
+            t0 = time.time()
+            _force(qs[name](spark, sf_dir))
+            measured.append(time.time() - t0)
+        timings[name] = round(min(measured), 3)
 
     # --- big-lexicon spotting (100k surface forms via the artifact path:
     # executor-built automaton, no driver collect / pickled broadcast) ---
@@ -117,6 +124,19 @@ def main() -> None:
     t0 = time.time()
     _force(spot_documents(docs_sf, biglex_art, doc_col="doc_id"))
     timings["spot_biglex_100k"] = round(time.time() - t0, 3)
+
+    # --- 1M-form lexicon: substantiates the "linear beyond 100k" claim.
+    # The per-worker automaton build time is the scaling risk at 10^6 forms;
+    # it is measured separately from the steady-state spotting pass. ---
+    biglex1m_art = tempfile.mkdtemp(prefix="kgspark-bench-biglex1m-")
+    write_lexicon_artifact(synth.big_lexicon_df(spark, 1_000_000), biglex1m_art)
+    t0 = time.time()
+    _force(spot_documents(docs_sf, biglex1m_art, doc_col="doc_id"))
+    build_and_first = time.time() - t0  # includes per-process automaton build
+    t0 = time.time()
+    _force(spot_documents(docs_sf, biglex1m_art, doc_col="doc_id"))
+    timings["spot_biglex_1m"] = round(time.time() - t0, 3)
+    timings["spot_biglex_1m_build"] = round(build_and_first, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -185,11 +185,12 @@ def main() -> None:
     print(json.dumps(result))
 
     lo_r, hi_r = result[f"local{lo_c}"], result[f"local{hi_c}"]
+    step = hi_c // lo_c
     md = f"""# BENCH — measured baseline ({n_docs} input_hint-shaped docs, end-to-end ingest->triples)
 
 Cluster-size scaling evidenced per the sandbox rule: the identical job +
-input at N and 4N parallelism (local[N] on one machine — the stand-in for
-N vs 4N executors). **Interleaved protocol**: both levels run as live JVMs
+input at N={lo_c} and {step}N={hi_c} parallelism (local[N] on one machine — the
+stand-in for {lo_c} vs {hi_c} executors). **Interleaved protocol**: both levels run as live JVMs
 and single passes alternate between them, because this VM's effective CPU
 swings 30-40% on multi-minute timescales (measured: the same local[32]
 pass repeated in one JVM ranged 69-120 s with flat tmpfs/heap/cache) — a
@@ -203,18 +204,19 @@ steady-state by definition). Shuffle on tmpfs.
 | local[{lo_c}] | {lo_r['passes']} | {lo_r['best_sec']} | {lo_r['docs_per_sec']} | {lo_r['warm_sec']} | {lo_r['calib_md5_per_sec']/1e6:.1f}M |
 | local[{hi_c}] | {hi_r['passes']} | {hi_r['best_sec']} | {hi_r['docs_per_sec']} | {hi_r['warm_sec']} | {hi_r['calib_md5_per_sec']/1e6:.1f}M |
 
-**Scaling efficiency (T_N / T_4N) / 4, per interleaved round:**
+**Scaling efficiency (T_{lo_c} / T_{hi_c}) / {step}, per interleaved round
+(a {step}x parallelism step, {lo_c} -> {hi_c}):**
 {per_round} -> median **{eff_median}** (best-pass {eff_best});
 hardware ceiling {hw_eff}; pipeline/hardware **{result['normalized_efficiency'][f'{lo_c}->{hi_c}']}**.
 
 The hardware-calibration column is the aggregate md5 throughput of N
 independent *python processes* (no JVM, no shuffle, cache-resident):
-this box itself delivers less than 4x going N -> 4N processes (turbo +
-steal), so the calibrated ceiling — not 1.0 — is the fair yardstick for
-a single-box N->4N measurement. A real 8 -> 32 *executor* scale-out
-multiplies memory bandwidth, shuffle disks and last-level cache 4x; this
-box multiplies none of them. The pipeline/hardware row divides the host
-ceiling out.
+this box itself delivers less than {step}x going {lo_c} -> {hi_c} processes
+(turbo + steal), so the calibrated ceiling — not 1.0 — is the fair
+yardstick for a single-box measurement. A real {lo_c} -> {hi_c} *executor*
+scale-out multiplies memory bandwidth, shuffle disks and last-level cache
+{step}x; this box multiplies none of them. The pipeline/hardware row divides
+the host ceiling out.
 
 Per-stage scaling breakdown: `python bench_stages.py` — no single
 anti-scaling stage (all stages land in a similar efficiency band; the

@@ -561,10 +561,11 @@ WHERE sim >= {threshold}"""
 
 
 def _lsh_ctes(query_ids: tuple[int, ...], k: int, n_planes: int, n_tables: int,
-              seed: int, dim: int) -> str:
+              seed: int, dim: int, multiprobe: bool = False) -> str:
     """Shared CTE chain mirroring kgspark.similarity.hyperplane_lsh_topk:
     same seeded hyperplane constants, same rounded sign test, same
-    multi-table (tbl, bucket) equi-join + (sim desc, neighbor_id) ranking."""
+    multi-table (tbl, bucket) equi-join + (sim desc, neighbor_id) ranking;
+    ``multiprobe`` mirrors the query-side 1-bit-flip bucket expansion."""
     from kgspark.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes * n_tables, seed)
@@ -581,10 +582,18 @@ def _lsh_ctes(query_ids: tuple[int, ...], k: int, n_planes: int, n_tables: int,
         for t in range(n_tables)
     )
     ids = ", ".join(str(i) for i in query_ids)
+    if multiprobe:
+        flip_rows = ", ".join(f"({f})" for f in [0] + [1 << i for i in range(n_planes)])
+        q_cte = (
+            f"q0 AS (SELECT vec_id AS query_id, tbl AS qtbl, bucket AS qbucket FROM sk WHERE vec_id IN ({ids})),\n"
+            f"  q AS (SELECT query_id, qtbl, xor(qbucket, fl.flip) AS qbucket FROM q0 CROSS JOIN (VALUES {flip_rows}) AS fl(flip))"
+        )
+    else:
+        q_cte = f"q AS (SELECT vec_id AS query_id, tbl AS qtbl, bucket AS qbucket FROM sk WHERE vec_id IN ({ids}))"
     return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
   sk AS (
     {table_union}),
-  q AS (SELECT vec_id AS query_id, tbl AS qtbl, bucket AS qbucket FROM sk WHERE vec_id IN ({ids})),
+  {q_cte},
   lsh_pairs AS (
     SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
     FROM q JOIN sk s ON s.tbl = q.qtbl AND s.bucket = q.qbucket AND s.vec_id <> q.query_id),
@@ -599,18 +608,20 @@ def _lsh_ctes(query_ids: tuple[int, ...], k: int, n_planes: int, n_tables: int,
 
 
 def q_ann_lsh(query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5,
-              n_planes: int = 4, n_tables: int = 1, seed: int = 42, dim: int = 64) -> str:
+              n_planes: int = 4, n_tables: int = 1, seed: int = 42, dim: int = 64,
+              multiprobe: bool = False) -> str:
     return (
-        "WITH " + _lsh_ctes(query_ids, k, n_planes, n_tables, seed, dim)
+        "WITH " + _lsh_ctes(query_ids, k, n_planes, n_tables, seed, dim, multiprobe)
         + "\nSELECT query_id, neighbor_id, rank FROM lsh_topk"
     )
 
 
 def q_ann_recall(query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5,
-                 n_planes: int = 4, n_tables: int = 1, seed: int = 42, dim: int = 64) -> str:
+                 n_planes: int = 4, n_tables: int = 1, seed: int = 42, dim: int = 64,
+                 multiprobe: bool = False) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     return (
-        "WITH " + _lsh_ctes(query_ids, k, n_planes, n_tables, seed, dim)
+        "WITH " + _lsh_ctes(query_ids, k, n_planes, n_tables, seed, dim, multiprobe)
         + f""",
   bq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
   b_sims AS (

@@ -95,13 +95,21 @@ def hyperplane_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign LSH (the standard recall
     lever: L independent tables of b hyperplanes each; a pair is a
     candidate if it collides in ANY table, P = 1-(1-p^b)^L). The probe is
     an equi-join on (table, bucket) — never a cross join — and the
     per-vector cost is L narrow sketch expressions, so the corpus side
-    scales linearly. ``n_tables=1`` is the single-probe special case."""
+    scales linearly. ``n_tables=1`` is the single-probe special case.
+
+    ``multiprobe=True`` additionally probes every 1-bit-flip neighbor of
+    the query's bucket in each table (b extra probes per table). A near
+    neighbor's sketch most likely differs in the single plane it straddles,
+    so 1-bit probes recover most of the recall that b-bit bucketing loses —
+    at query-side cost only (the query set is tiny and broadcast; the
+    corpus side is untouched)."""
     planes = _hyperplanes(dim, n_planes * n_tables, seed)
     tables = F.explode(
         F.array(
@@ -125,6 +133,14 @@ def hyperplane_lsh_topk(
         F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
+    if multiprobe:
+        flips = [0] + [1 << i for i in range(n_planes)]
+        q = q.withColumn(
+            "qbucket",
+            F.explode(
+                F.array(*[F.col("qbucket").bitwiseXOR(F.lit(f)) for f in flips])
+            ),
+        )
     cand = sk.join(
         F.broadcast(q),
         (F.col("tbl") == F.col("qtbl"))
@@ -150,6 +166,7 @@ def lsh_recall(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """recall@k of the LSH-bucketed ANN vs the exact brute-force top-k.
 
@@ -160,7 +177,7 @@ def lsh_recall(
     brute = cosine_topk(embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col)
     approx = hyperplane_lsh_topk(
         embeddings, query_ids, k=k, n_planes=n_planes, n_tables=n_tables,
-        seed=seed, id_col=id_col, vec_col=vec_col, dim=dim,
+        seed=seed, id_col=id_col, vec_col=vec_col, dim=dim, multiprobe=multiprobe,
     )
     hits = brute.select("query_id", "neighbor_id").join(
         approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]

@@ -218,3 +218,19 @@ def test_embed_neardup_bucketed_recall_floor(spark):
     assert bucketed <= exact
     if exact:
         assert len(bucketed) / len(exact) >= 0.5
+
+
+def test_ann_multiprobe_recall_floor(spark):
+    """Multi-table + 1-bit multiprobe LSH must hold recall@5 >= 0.8 vs the
+    exact brute-force top-k (uniform random vectors — LSH's worst case).
+    This pins the registered scale path's quality (round-2 verdict item 3:
+    at 0.56 the scale path silently lost half the neighbors)."""
+    from kgspark.similarity import lsh_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = lsh_recall(
+        emb, query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4, n_tables=8,
+        multiprobe=True,
+    ).collect()
+    avg = sum(r["recall"] for r in rows) / len(rows)
+    assert avg >= 0.8, f"multiprobe ANN recall {avg:.2f} below floor"
