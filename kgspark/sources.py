@@ -112,30 +112,11 @@ TEI_TOKENS_SCHEMA = T.ArrayType(
 )
 
 
-def parse_tei_tokens(xml: str) -> list[dict]:
-    """<w>/<pc> extraction + whitespace reconstruction + offset cumsum.
-
-    Mirrors to_annotation: a token is followed by a space unless it (or its
-    successor) carries ``join`` ("right"/"left"/"both") — punctuation
-    attaches to the preceding word (R/dbpedia.R:180-213). Offsets 1-based.
-    Namespace-aware: prefixed token tags (e.g. ``<tei:w>``) are resolved
-    through the document's xmlns declarations (R/xml.R:219-245).
-    """
-    prefix = _ns_prefix(xml or "")
-    toks = []
-    for m in _token_tag_re(prefix).finditer(xml or ""):
-        attrs = dict(_ATTR_RE.findall(m.group("attrs") or ""))
-        word = (m.group("body") or "").strip()
-        tag = m.group("tag").split(":", 1)[-1]
-        toks.append(
-            {
-                "token_id": attrs.get("xml:id") or attrs.get("id"),
-                "tag": tag,
-                "word": word,
-                "join": attrs.get("join"),
-                "_xmlpos": m.start(),
-            }
-        )
+def _assign_offsets(toks: list[dict]) -> list[dict]:
+    """Whitespace reconstruction + 1-based offset cumsum over an ordered
+    token list. Mirrors to_annotation: a token is followed by a space
+    unless it (or its successor) carries ``join`` ("right"/"left"/"both")
+    — punctuation attaches to the preceding word (R/dbpedia.R:180-213)."""
     out, pos = [], 1
     for i, t in enumerate(toks):
         start = pos
@@ -152,11 +133,105 @@ def parse_tei_tokens(xml: str) -> list[dict]:
     return out
 
 
-def parse_tei_features(xml: str, tokens: list[dict], feature_tag: str) -> list[dict]:
-    """Pre-annotated feature spans (e.g. ``<name type="...">`` wrapping
-    token runs): id = first child token id + '_' + feature_tag, kind =
-    @type, span = min/max of the child tokens' char offsets, text = child
-    words joined by spaces (to_annotation, R/dbpedia.R:255-303)."""
+_XML_ID_ATTR = "{http://www.w3.org/XML/1998/namespace}id"
+
+
+def _et_local(tag) -> str | None:
+    # Comment/PI nodes carry a callable tag, not a str — skip them.
+    if not isinstance(tag, str):
+        return None
+    return tag.rsplit("}", 1)[-1]
+
+
+def _parse_tei_et(xml: str, feature_tag: str | None):
+    """Structural TEI parse via stdlib ElementTree (the analogue of the
+    reference's xml2, R/xml.R:219-245). Handles what the regex kernel
+    cannot: nested inline markup inside ``<w>`` bodies
+    (``<w><hi>x</hi></w>``), CDATA sections, comments inside sentences,
+    and nested same-name feature elements (each feature's children are
+    its XML descendants, not a flat position range). Returns
+    (tokens, features) or None when the document is not well-formed XML
+    (fragment with no single root) — the caller falls back to the regex
+    kernel for those.
+    """
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError:
+        return None
+    toks: list[dict] = []
+    feats: list[dict] = []
+
+    def walk(el, stack):
+        lt = _et_local(el.tag)
+        if lt is None:
+            return
+        if lt in ("w", "pc"):
+            idx = len(toks)
+            toks.append(
+                {
+                    "token_id": el.get(_XML_ID_ATTR) or el.get("id"),
+                    "tag": lt,
+                    "word": "".join(el.itertext()).strip(),
+                    "join": el.get("join"),
+                }
+            )
+            for rec in stack:
+                rec["idx"].append(idx)
+            return
+        nstack = stack
+        if feature_tag is not None and lt == feature_tag:
+            rec = {"type": el.get("type"), "ref": el.get("ref"), "idx": []}
+            feats.append(rec)
+            nstack = stack + [rec]
+        for child in el:
+            walk(child, nstack)
+
+    walk(root, [])
+    toks = _assign_offsets(toks)
+    out_feats = []
+    for rec in feats:
+        children = [toks[i] for i in rec["idx"]]
+        if not children:
+            continue
+        out_feats.append(
+            {
+                "feature_id": f"{children[0]['token_id']}_{feature_tag}",
+                "kind": rec["type"],
+                "ref": rec["ref"],
+                "start": min(t["start"] for t in children),
+                "end": max(t["end"] for t in children),
+                "text": " ".join(t["word"] for t in children),
+                "token_ids": [t["token_id"] for t in children],
+            }
+        )
+    return toks, out_feats
+
+
+def _parse_tei_tokens_re(xml: str) -> list[dict]:
+    """Regex fallback kernel (round-2 path): accepts rootless fragments
+    and bare token streams, but cannot see nested inline markup. Tokens
+    carry ``_xmlpos`` so the regex feature pass can range-test them."""
+    prefix = _ns_prefix(xml or "")
+    toks = []
+    for m in _token_tag_re(prefix).finditer(xml or ""):
+        attrs = dict(_ATTR_RE.findall(m.group("attrs") or ""))
+        word = (m.group("body") or "").strip()
+        tag = m.group("tag").split(":", 1)[-1]
+        toks.append(
+            {
+                "token_id": attrs.get("xml:id") or attrs.get("id"),
+                "tag": tag,
+                "word": word,
+                "join": attrs.get("join"),
+                "_xmlpos": m.start(),
+            }
+        )
+    return _assign_offsets(toks)
+
+
+def _parse_tei_features_re(xml: str, tokens: list[dict], feature_tag: str) -> list[dict]:
     prefix = _ns_prefix(xml or "")
     out = []
     for m in _feature_tag_re(prefix, feature_tag).finditer(xml or ""):
@@ -176,6 +251,47 @@ def parse_tei_features(xml: str, tokens: list[dict], feature_tag: str) -> list[d
             }
         )
     return out
+
+
+def parse_tei(xml: str, feature_tag: str | None = None) -> tuple[list[dict], list[dict]]:
+    """One-parse TEI extraction: (tokens, features).
+
+    Primary path is real XML parsing (ElementTree); non-well-formed
+    fragments fall back to the regex kernel. Both enforce the reference's
+    namespace contract first: a multi-namespace document whose first
+    declaration is not the TEI namespace aborts with "Unspecified
+    Namespace" (R/xml.R:236). Offsets 1-based; join/"pc" whitespace rules
+    per R/dbpedia.R:180-213; feature spans per R/dbpedia.R:255-303.
+    """
+    _ns_prefix(xml or "")  # namespace-contract abort parity, both paths
+    parsed = _parse_tei_et(xml or "", feature_tag)
+    if parsed is not None:
+        return parsed
+    toks = _parse_tei_tokens_re(xml or "")
+    feats = (
+        _parse_tei_features_re(xml or "", toks, feature_tag)
+        if feature_tag is not None
+        else []
+    )
+    return toks, feats
+
+
+def parse_tei_tokens(xml: str) -> list[dict]:
+    """<w>/<pc> extraction + whitespace reconstruction + offset cumsum
+    (see ``parse_tei``)."""
+    return parse_tei(xml)[0]
+
+
+def parse_tei_features(xml: str, tokens: list[dict], feature_tag: str) -> list[dict]:
+    """Pre-annotated feature spans (e.g. ``<name type="...">`` wrapping
+    token runs): id = first child token id + '_' + feature_tag, kind =
+    @type, span = min/max of the child tokens' char offsets, text = child
+    words joined by spaces (to_annotation, R/dbpedia.R:255-303). The
+    ``tokens`` argument is used only by the regex fallback; the XML path
+    re-derives children structurally."""
+    if _parse_tei_et(xml or "", feature_tag) is not None:
+        return parse_tei(xml, feature_tag)[1]
+    return _parse_tei_features_re(xml or "", tokens, feature_tag)
 
 
 def reconstruct_tei_text(tokens: list[dict]) -> str:
@@ -218,7 +334,8 @@ def from_tei(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            toks = [parse_tei_tokens(x) for x in pdf[xml_col]]
+            parsed = [parse_tei(x, feature_tag) for x in pdf[xml_col]]
+            toks = [p[0] for p in parsed]
             cols = {
                 "doc_id": pdf[doc_col],
                 "text": [reconstruct_tei_text(t) for t in toks],
@@ -227,10 +344,7 @@ def from_tei(
                 ],
             }
             if feature_tag is not None:
-                cols["features"] = [
-                    parse_tei_features(x, ts, feature_tag)
-                    for x, ts in zip(pdf[xml_col], toks)
-                ]
+                cols["features"] = [p[1] for p in parsed]
             yield pd.DataFrame(cols)
 
     fields = [
