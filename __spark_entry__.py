@@ -551,6 +551,24 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_features_real(spark, sf_dir):
+    """Real-codec path: encode doc_id-derived WAV/BMP/PPM payloads, decode
+    them with the pure-numpy codecs (decode_mode='real'), emit integer
+    feature stats. The oracle re-derives the features from the id formulas
+    alone — green hash == decode inverts encode on real container bytes."""
+    from kgspark.multimodal import codec_media_table
+
+    media = codec_media_table(_docs(spark, sf_dir), n=48)
+    feats = extract_features(media, decode_mode="real")
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: x.cast("bigint").cast("string")),
+            "|",
+        ).alias("feature_sig"),
+    )
+
+
 def q_video_frames(spark, sf_dir):
     media = media_table(_docs(spark, sf_dir), n=48)
     frames = sample_video_frames(media, every_ms=5000)
@@ -610,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh,
         "ann_lsh_recall": q_ann_recall,
         "media_features": q_media_features,
+        "media_features_real": q_media_features_real,
         "video_frame_sample": q_video_frames,
     }
 
@@ -658,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
         "lexicon_lookup": oracles.q_lexicon_lookup("join", 5),
         "spotlight_json": oracles.q_spotlight_json(),
         "media_features": oracles.q_media_features(n=48),
+        "media_features_real": oracles.q_media_features_real(n=48),
         "video_frame_sample": oracles.q_video_frames(n=48, every_ms=5000),
         "tei_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 50",
         "ann_lsh_bucketed": oracles.q_ann_lsh(n_tables=8, multiprobe=True),

@@ -3,22 +3,29 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extract / frame-sample run as
 Arrow-batched ``mapInPandas`` kernels so payload bytes never round-trip
-through Python row objects. The actual codec step is STUBBED (no
-image/audio libraries in this container): ``decode_mode="fake"`` produces a
-deterministic md5-derived feature vector with the real batch shape;
-``decode_mode="real"`` raises NotImplementedError at the exact seam where
-PIL/ffmpeg would plug in. Everything around the stub — schema, partition
-sizing, UDF signature, batch iteration, Spark-side frame fan-out — is real,
-tested, and oracle-checked: the media table is derived from ``documents``
-with pure arithmetic and the fake features are md5-derived, so DuckDB can
-recompute both bit-identically (``kgspark.oracles.q_media_features``).
+through Python row objects. Two decode modes:
+
+- ``decode_mode="fake"``: deterministic md5-derived feature vector with the
+  real batch shape; the media table is derived from ``documents`` with pure
+  arithmetic, so DuckDB recomputes both bit-identically
+  (``kgspark.oracles.q_media_features``).
+- ``decode_mode="real"``: pure-numpy container decoders for RIFF/WAVE PCM16
+  audio, BMP (24-bit uncompressed) and PPM (P6) images — no external codec
+  libraries. Features are integer statistics (dims, channel sums, extrema)
+  exact in float32, and the synth encoder builds payloads from doc_id
+  arithmetic, so the DuckDB oracle re-derives every feature from the same
+  formulas WITHOUT touching bytes: a green hash proves decode inverts
+  encode (``media_features_real``). Formats genuinely needing ffmpeg/PIL
+  (mp4/jpeg/mp3 ...) still raise NotImplementedError at the codec seam.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -89,6 +96,65 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     return media_table(base, n=n)
 
 
+def _codec_rgb(mid: int) -> np.ndarray:
+    """Deterministic (h, w, 3) image from the id: w = 4 + id%4,
+    h = 3 + id%3, pixel (x, y) = ((id*7 + y*13 + x*5) + 11*c) % 256 for
+    channel c in (R,G,B) — pure arithmetic the oracle re-derives in SQL."""
+    w, h = 4 + mid % 4, 3 + mid % 3
+    y, x = np.mgrid[0:h, 0:w]
+    base = (mid * 7 + y * 13 + x * 5)[:, :, None] + np.array([0, 11, 22])
+    return (base % 256).astype(np.uint8)
+
+
+def _codec_samples(mid: int) -> np.ndarray:
+    """Deterministic PCM16 samples: n = 64 + id%64,
+    s[i] = ((id*31 + i*17) % 2003) - 1001."""
+    i = np.arange(64 + mid % 64, dtype=np.int64)
+    return ((mid * 31 + i * 17) % 2003) - 1001
+
+
+def codec_media_table(
+    docs: DataFrame, n: int = 48, id_col: str = "doc_id"
+) -> DataFrame:
+    """Media table with REAL encoded payloads (WAV / BMP / PPM), content
+    derived from the id by pure arithmetic. kind cycles by id % 3:
+    0 -> BMP image, 1 -> WAV audio, 2 -> PPM image. Because the payload
+    content is a closed-form function of the id, the DuckDB oracle can
+    recompute every decoded feature from the formulas alone — a green
+    value-hash is a proof that ``decode_mode="real"`` inverts the encoder
+    on real container bytes."""
+    base = docs.filter(F.col(id_col).cast("long") < n).select(
+        F.col(id_col).cast("long").alias("media_id")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "url": [], "kind": [], "payload": [],
+                    "width": [], "height": [], "duration_ms": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 3 == 1:
+                    s = _codec_samples(mid)
+                    payload, kind = encode_wav_pcm16(s), "audio"
+                    w = h = None
+                    dur = len(s) * 1000 // 8000
+                else:
+                    rgb = _codec_rgb(mid)
+                    payload = encode_bmp24(rgb) if mid % 3 == 0 else encode_ppm(rgb)
+                    kind, dur = "image", None
+                    h, w = rgb.shape[:2]
+                rows["media_id"].append(mid)
+                rows["url"].append(f"https://example.org/media/{mid}")
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_ms"].append(dur)
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a decoded-content embedding: md5 digest
     bytes scaled to [0,1]. Mirrored in SQL via substr(md5(text), ...)"""
@@ -114,6 +180,149 @@ def feature_sig(col, dim: int = 8):
     )
 
 
+# --------------------------------------------------------------------------
+# real codecs (pure numpy/struct — no PIL/ffmpeg). Encoders live here too:
+# the synth media table is built by encoding doc_id-derived arithmetic, so
+# the oracle proves round-trip correctness by recomputing features from the
+# same formulas without ever seeing the bytes.
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Minimal canonical RIFF/WAVE, PCM16 mono."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(p: bytes) -> list[float]:
+    """RIFF chunk walk (handles extra chunks + odd-size padding);
+    PCM16 only. Feature: [1, sample_rate, n_frames, sum, sum_abs, max,
+    min, channels] — integer stats, exact in float32."""
+    if not (p[:4] == b"RIFF" and p[8:12] == b"WAVE"):
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(p):
+        cid = p[pos : pos + 4]
+        size = struct.unpack("<I", p[pos + 4 : pos + 8])[0]
+        body = p[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, sr, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError("only PCM16 WAV is decoded without ffmpeg")
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return [
+        1.0, float(sr), float(len(s) // channels), float(s.sum()),
+        float(np.abs(s).sum()), float(s.max()), float(s.min()), float(channels),
+    ]
+
+
+def encode_bmp24(rgb: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP, bottom-up rows, 4-byte row padding.
+    ``rgb``: (h, w, 3) uint8 in RGB order (stored as BGR per the format)."""
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = rgb[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    size = 54 + len(rows)
+    return (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+        + bytes(rows)
+    )
+
+
+def decode_bmp(p: bytes) -> list[float]:
+    """BITMAPINFOHEADER 24bpp decoder (bottom-up and top-down, padded
+    strides). Feature: [2, w, h, sum_r, sum_g, sum_b, max, min]."""
+    if p[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack("<I", p[10:14])[0]
+    w, h_raw = struct.unpack("<ii", p[18:26])
+    bpp = struct.unpack("<H", p[28:30])[0]
+    comp = struct.unpack("<I", p[30:34])[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only 24bpp uncompressed BMP is decoded without PIL")
+    top_down, h = h_raw < 0, abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for yy in range(h):
+        src_y = yy if top_down else h - 1 - yy
+        rows.append(
+            np.frombuffer(p, dtype=np.uint8, count=w * 3, offset=off + src_y * stride)
+            .reshape(w, 3)[:, ::-1]  # BGR -> RGB
+        )
+    rgb = np.stack(rows).astype(np.int64)  # (h, w, 3)
+    return [
+        2.0, float(w), float(h), float(rgb[:, :, 0].sum()),
+        float(rgb[:, :, 1].sum()), float(rgb[:, :, 2].sum()),
+        float(rgb.max()), float(rgb.min()),
+    ]
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    h, w, _ = rgb.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + rgb.astype(np.uint8).tobytes()
+
+
+def decode_ppm(p: bytes) -> list[float]:
+    """P6 binary PPM (comment-tolerant header). Feature layout mirrors
+    BMP with code 3."""
+    if p[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header tokens: P6, width, height, maxval — '#' comments legal
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(p) and p[pos : pos + 1].isspace():
+            pos += 1
+        if p[pos : pos + 1] == b"#":
+            while pos < len(p) and p[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(p) and not p[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(p[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM is decoded")
+    rgb = (
+        np.frombuffer(p, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .astype(np.int64)
+    )
+    return [
+        3.0, float(w), float(h), float(rgb[:, :, 0].sum()),
+        float(rgb[:, :, 1].sum()), float(rgb[:, :, 2].sum()),
+        float(rgb.max()), float(rgb.min()),
+    ]
+
+
+def decode_payload(p: bytes) -> list[float]:
+    """Magic-byte dispatch to a real decoder. Containers that genuinely
+    need ffmpeg/PIL (mp4, jpeg, png, mp3, ...) raise at this seam."""
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return decode_wav(p)
+    if p[:2] == b"BM":
+        return decode_bmp(p)
+    if p[:2] == b"P6":
+        return decode_ppm(p)
+    raise NotImplementedError(
+        f"no pure-python decoder for payload magic {p[:8]!r} — this format "
+        "requires ffmpeg/PIL; plug the codec in here"
+    )
+
+
 def extract_features(
     media: DataFrame, decode_mode: str = "fake", feature_dim: int = 8
 ) -> DataFrame:
@@ -122,19 +331,21 @@ def extract_features(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_mode == "real":
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — plug the codec "
-                    "in here; the surrounding plumbing is production-shaped"
-                )
+                feats = [
+                    None if p is None else decode_payload(bytes(p))
+                    for p in pdf["payload"]
+                ]
+            else:
+                feats = [
+                    None if p is None else _fake_feature(bytes(p), feature_dim)
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": [0 if p is None else len(p) for p in pdf["payload"]],
-                    "feature": [
-                        None if p is None else _fake_feature(bytes(p), feature_dim)
-                        for p in pdf["payload"]
-                    ],
+                    "feature": feats,
                 }
             )
 
@@ -164,7 +375,10 @@ def sample_video_frames(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_mode == "real":
-                raise NotImplementedError("real frame decode not available here")
+                raise NotImplementedError(
+                    "video frame decode requires ffmpeg — unlike the "
+                    "WAV/BMP/PPM feature path, no pure-python codec exists"
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -828,6 +828,65 @@ def q_media_features(n: int = 48, dim: int = 8) -> str:
 SELECT media_id, kind, n_bytes, {_digest_sig('h', dim)} AS feature_sig FROM f"""
 
 
+def q_media_features_real(n: int = 48) -> str:
+    """Mirror of codec_media_table + extract_features(decode_mode='real'):
+    the Spark side ENCODES doc_id-derived arithmetic into real WAV/BMP/PPM
+    containers and DECODES them back with pure-numpy codecs; this oracle
+    re-derives every decoded feature from the same closed-form formulas
+    without ever touching bytes — a green value-hash proves the decoder
+    inverts the encoder on real container bytes."""
+    wav_n = "(64 + (media_id % 64))"
+    wav_lst = (
+        f"list_transform(generate_series(0, {wav_n} - 1), "
+        "i -> (media_id*31 + i*17) % 2003 - 1001)"
+    )
+    w, h = "(4 + (media_id % 4))", "(3 + (media_id % 3))"
+
+    def chan(off: int) -> str:
+        return (
+            f"list_transform(generate_series(0, {w}*{h} - 1), "
+            f"i -> (media_id*7 + (i // {w})*13 + (i % {w})*5 + {off}) % 256)"
+        )
+
+    img_sums = ", ".join(
+        f"list_aggregate({chan(off)}, 'sum') AS s{c}"
+        for c, off in (("r", 0), ("g", 11), ("b", 22))
+    )
+    img_ext = (
+        f"greatest(list_aggregate({chan(0)}, 'max'), list_aggregate({chan(11)}, 'max'), "
+        f"list_aggregate({chan(22)}, 'max')) AS mx, "
+        f"least(list_aggregate({chan(0)}, 'min'), list_aggregate({chan(11)}, 'min'), "
+        f"list_aggregate({chan(22)}, 'min')) AS mn"
+    )
+    img_sig = (
+        "cast(code AS VARCHAR) || '|' || cast(w AS VARCHAR) || '|' || cast(h AS VARCHAR)"
+        " || '|' || cast(sr AS VARCHAR) || '|' || cast(sg AS VARCHAR) || '|' || cast(sb AS VARCHAR)"
+        " || '|' || cast(mx AS VARCHAR) || '|' || cast(mn AS VARCHAR)"
+    )
+    return f"""WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < {n}),
+  wav AS (
+    SELECT media_id, 'audio' AS kind, 44 + 2*{wav_n} AS n_bytes,
+      {wav_n} AS nf, list_aggregate({wav_lst}, 'sum') AS s,
+      list_aggregate(list_transform({wav_lst}, x -> abs(x)), 'sum') AS sa,
+      list_aggregate({wav_lst}, 'max') AS mx, list_aggregate({wav_lst}, 'min') AS mn
+    FROM ids WHERE media_id % 3 = 1),
+  img AS (
+    SELECT media_id,
+      CASE WHEN media_id % 3 = 0 THEN 2 ELSE 3 END AS code,
+      CASE WHEN media_id % 3 = 0
+           THEN 54 + (({w}*3 + 3) // 4) * 4 * {h}
+           ELSE 3 + length(cast({w} AS VARCHAR)) + 1 + length(cast({h} AS VARCHAR)) + 5 + 3*{w}*{h}
+      END AS n_bytes,
+      {w} AS w, {h} AS h, {img_sums}, {img_ext}
+    FROM ids WHERE media_id % 3 <> 1)
+SELECT media_id, 'audio' AS kind, n_bytes,
+  '1|8000|' || cast(nf AS VARCHAR) || '|' || cast(s AS VARCHAR) || '|' || cast(sa AS VARCHAR)
+  || '|' || cast(mx AS VARCHAR) || '|' || cast(mn AS VARCHAR) || '|1' AS feature_sig
+FROM wav
+UNION ALL
+SELECT media_id, 'image' AS kind, n_bytes, {img_sig} AS feature_sig FROM img"""
+
+
 def q_video_frames(n: int = 48, every_ms: int = 5000, dim: int = 8) -> str:
     return f"""WITH m AS (
     SELECT doc_id AS media_id, text, 1000 + (doc_id * 7919) % 59000 AS duration_ms

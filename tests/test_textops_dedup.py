@@ -234,3 +234,65 @@ def test_ann_multiprobe_recall_floor(spark):
     ).collect()
     avg = sum(r["recall"] for r in rows) / len(rows)
     assert avg >= 0.8, f"multiprobe ANN recall {avg:.2f} below floor"
+
+
+def test_codec_decoders_beyond_encoder_shapes():
+    """The real decoders handle container shapes our encoder never emits:
+    WAV with an extra (odd-sized) chunk before data, top-down BMP, and a
+    PPM with header comments — proof they parse the format, not just
+    invert our encoder."""
+    import struct
+
+    import numpy as np
+
+    from kgspark.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp24,
+        encode_wav_pcm16,
+    )
+
+    s = np.array([100, -200, 300], dtype=np.int64)
+    wav = encode_wav_pcm16(s)
+    # splice an odd-sized LIST chunk between fmt and data (padded to even)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = wav[:fmt_end] + extra + wav[fmt_end:]
+    assert decode_wav(spliced) == decode_wav(wav)
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    bottom_up = encode_bmp24(rgb)
+    # rewrite as top-down: negate height, rows in natural order
+    stride = (3 * 3 + 3) & ~3
+    rows = b"".join(
+        rgb[y, :, ::-1].tobytes() + b"\x00" * (stride - 9) for y in range(2)
+    )
+    top_down = (
+        bottom_up[:18]
+        + struct.pack("<ii", 3, -2)
+        + bottom_up[26:54]
+        + rows
+    )
+    assert decode_bmp(top_down) == decode_bmp(bottom_up)
+
+    ppm = b"P6\n# a comment\n3 2\n# another\n255\n" + rgb.tobytes()
+    assert decode_ppm(ppm)[1:3] == [3.0, 2.0]
+    assert decode_ppm(ppm) == decode_bmp(bottom_up)[:0] + [3.0] + decode_bmp(bottom_up)[1:]
+
+
+def test_codec_media_real_features(spark):
+    """decode_mode='real' end-to-end over real WAV/BMP/PPM payloads; mp4
+    stays behind the NotImplementedError seam."""
+    from kgspark.multimodal import codec_media_table, decode_payload
+
+    docs = spark.range(12).select(F.col("id").alias("doc_id"))
+    media = codec_media_table(docs, n=12)
+    rows = extract_features(media, decode_mode="real").collect()
+    assert len(rows) == 12
+    codes = {r["media_id"] % 3: r["feature"][0] for r in rows}
+    assert codes == {0: 2.0, 1: 1.0, 2: 3.0}  # BMP / WAV / PPM
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError, match="ffmpeg"):
+        decode_payload(b"\x00\x00\x00\x18ftypmp42....")
