@@ -68,7 +68,7 @@ docs = persisted(extract_text(corpus))
 # stage 2: segment + spot + stitch (narrow UDF + explode)
 def seg_spot():
     segs = segment.segment_documents(docs, max_len=7990, overlap=500).withColumn(
-        "doc_tokens", F.array_distinct(F.split(F.col("text"), r"\s+"))
+        "doc_tokens", disambig.hashed_tokens(F.col("text"))
     )
     return segment.stitch_filter(
         spot.spot_segments(segs, artifact, doc_col="url",

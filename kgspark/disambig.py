@@ -32,15 +32,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def hashed_tokens(text_col, pattern: str = r"\s+"):
+    """Distinct 64-bit xxhash64 token hashes of a text column.
+
+    Context scoring only needs set INTERSECTION SIZE, never token strings —
+    so both sides (doc carry and lexicon ctx profile) carry 8-byte hashes
+    instead of strings. This bounds the per-row memory of the doc_tokens
+    carry at 100x doc sizes (round-2 verdict wrong-item 3): a long doc's
+    token array is 8 bytes/token in every in-flight copy regardless of
+    word length. 64-bit (not 32): a single in-oracle-window collision
+    would perturb a score; at 64 bits the birthday bound over a full
+    crawl vocabulary is negligible.
+    """
+    return F.array_distinct(
+        F.transform(F.split(text_col, pattern), lambda t: F.xxhash64(t))
+    )
+
+
 def doc_tokens(docs: DataFrame, doc_col: str = "url", text_col: str = "text") -> DataFrame:
     """Slim (doc_id, doc_tokens) projection for context scoring.
 
-    Distinct tokens per doc (array_intersect dedups anyway); splitting on
-    whitespace keeps parity with the DuckDB oracle.
+    Distinct hashed tokens per doc (``hashed_tokens``); splitting on
+    whitespace keeps parity with the DuckDB oracle, which intersects the
+    string token sets — identical counts, collision-free at 64 bits.
     """
     return docs.select(
         F.col(doc_col).alias("doc_id"),
-        F.array_distinct(F.split(F.col(text_col), r"\s+")).alias("doc_tokens"),
+        hashed_tokens(F.col(text_col)).alias("doc_tokens"),
     )
 
 
@@ -63,7 +81,7 @@ def generate_candidates(
         F.col("uri"),
         F.col("prior"),
         F.col("support"),
-        F.split(F.col("ctx_tokens"), " ").alias("ctx_arr"),
+        hashed_tokens(F.col("ctx_tokens"), " ").alias("ctx_arr"),
     ]
     if not slim:
         cols[4:4] = [F.col("dbpedia_types"), F.col("wikidata_types")]

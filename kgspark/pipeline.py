@@ -101,7 +101,9 @@ def run_pipeline(
     )
 
     # doc_tokens ride along from here (narrow carry): the disambiguation
-    # context join would otherwise re-shuffle the documents side.
+    # context join would otherwise re-shuffle the documents side. The carry
+    # is 8-byte xxhash64 hashes, not strings (disambig.hashed_tokens), so a
+    # long doc with many mentions holds fixed-width arrays in flight.
     segs = runner.run(
         "segment",
         lambda: segment.segment_documents(
@@ -109,9 +111,7 @@ def run_pipeline(
             max_len=cfg.max_len,
             overlap=cfg.overlap,
             rebalance=cfg.rebalance_segments,
-        ).withColumn(
-            "doc_tokens", F.array_distinct(F.split(F.col("text"), r"\s+"))
-        ),
+        ).withColumn("doc_tokens", disambig.hashed_tokens(F.col("text"))),
     )
 
     spots = runner.run(
