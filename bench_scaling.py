@@ -6,8 +6,15 @@ two parallelism levels — local[N] and local[4N] — on identical input (the
 sandbox-approved substitute for N vs 4N executors) and report throughput at
 both plus ``efficiency = (T_N / T_4N) / 4`` into BENCH/BASELINE.md.
 
-Protocol (round 2 — built after chasing measurement noise, see the
+Protocol (round 3 — built after chasing measurement noise, see the
 BASELINE.md narrative):
+- ADAPTIVE warmup (new in round 3): each level re-runs the job until the
+  pass-over-pass improvement is < 10% (max 4 passes) — one warm pass is
+  not enough for the wide level (measured: local[32] kept improving
+  44 -> 40 -> 21 s after its first warm pass).
+- PER-ROUND hardware calibration (new in round 3): the md5 probe runs
+  inside each round's window and that round's efficiency is also
+  reported normalized by the ceiling measured alongside it.
 - the sandbox VM's effective CPU swings 30-40% on multi-minute timescales
   (host steal / turbo), which poisons any sequential A-then-B comparison.
   Both levels therefore run as LIVE child JVMs and the parent alternates
@@ -66,8 +73,19 @@ def once():
     out["triples"].write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
-warm = once()
-print(json.dumps({"ready": True, "warm_sec": round(warm, 3)}), flush=True)
+# Adaptive warmup: one pass is not always enough — the wider level keeps
+# JIT-compiling / heap-sizing for 2-3 passes (measured: local[32] passes
+# fell 44 -> 40 -> 21 s after a single warm pass). Warm until the
+# improvement over the previous pass drops under 10% (max 4 passes).
+warms = [once()]
+while len(warms) < 4:
+    w = once()
+    still_improving = (warms[-1] - w) / warms[-1] > 0.10
+    warms.append(w)
+    if not still_improving:
+        break
+print(json.dumps({"ready": True, "warm_sec": round(warms[0], 3),
+                  "warm_passes": [round(w, 3) for w in warms]}), flush=True)
 for line in sys.stdin:
     cmd = line.strip()
     if cmd == "run":
@@ -126,6 +144,7 @@ class Level:
     def wait_ready(self):
         msg = self._read()
         self.warm_sec = msg["warm_sec"]
+        self.warm_passes = msg.get("warm_passes", [msg["warm_sec"]])
 
     def cmd(self, c: str) -> dict:
         self.proc.stdin.write(c + "\n")
@@ -154,12 +173,22 @@ def main() -> None:
     hi.wait_ready()
 
     per_round = []
+    per_round_hw = []
+    per_round_norm = []
     for _ in range(rounds):
+        # hardware probe INSIDE the round window: the host's own 8->32
+        # ceiling drifts with the same steal/turbo noise as the passes, so
+        # each round is normalized against the ceiling measured alongside it
+        c_lo, c_hi = hw_calib(lo_c), hw_calib(hi_c)
+        hw_r = (c_hi / c_lo) / (hi_c / lo_c)
         a = lo.cmd("run")["sec"]
         b = hi.cmd("run")["sec"]
         lo.passes.append(a)
         hi.passes.append(b)
-        per_round.append(round((a / b) / (hi_c / lo_c), 3))
+        eff = (a / b) / (hi_c / lo_c)
+        per_round.append(round(eff, 3))
+        per_round_hw.append(round(hw_r, 3))
+        per_round_norm.append(round(eff / hw_r, 3))
     lo.calibs.append(hw_calib(lo_c))
     hi.calibs.append(hw_calib(hi_c))
     lo.quit(); hi.quit()
@@ -167,6 +196,7 @@ def main() -> None:
     eff_median = round(statistics.median(per_round), 3)
     eff_best = round((min(lo.passes) / min(hi.passes)) / (hi_c / lo_c), 3)
     hw_eff = round((hi.calibs[0] / lo.calibs[0]) / (hi_c / lo_c), 3)
+    norm_median = round(statistics.median(per_round_norm), 3)
     result = {
         f"local{lo_c}": {"cpus": lo_c, "passes": lo.passes, "warm_sec": lo.warm_sec,
                          "best_sec": min(lo.passes), "n_docs": n_docs,
@@ -177,10 +207,14 @@ def main() -> None:
                          "docs_per_sec": round(n_docs / min(hi.passes), 1),
                          "calib_md5_per_sec": hi.calibs[0]},
         "per_round_efficiency": per_round,
+        "per_round_hw_ceiling": per_round_hw,
+        "per_round_normalized": per_round_norm,
+        "warm_passes": {f"local{lo_c}": lo.warm_passes,
+                        f"local{hi_c}": hi.warm_passes},
         "scaling_efficiency": {f"{lo_c}->{hi_c}": eff_median},
         "best_pass_efficiency": {f"{lo_c}->{hi_c}": eff_best},
         "hardware_ceiling": {f"{lo_c}->{hi_c}": hw_eff},
-        "normalized_efficiency": {f"{lo_c}->{hi_c}": round(eff_median / hw_eff, 3)},
+        "normalized_efficiency": {f"{lo_c}->{hi_c}": norm_median},
     }
     print(json.dumps(result))
 
@@ -195,28 +229,34 @@ and single passes alternate between them, because this VM's effective CPU
 swings 30-40% on multi-minute timescales (measured: the same local[32]
 pass repeated in one JVM ranged 69-120 s with flat tmpfs/heap/cache) — a
 sequential A-then-B run compares different machines. Per-round ratios
-sample the same host-speed window. One warm-up pass per level excluded
-(python-worker spawn + JIT/codegen; a 10^12-doc production run is
-steady-state by definition). Shuffle on tmpfs.
+sample the same host-speed window. Warm-up passes per level excluded —
+ADAPTIVELY: each level re-runs the job until the pass-over-pass
+improvement drops under 10% (max 4), because the wide level keeps
+JIT-compiling/heap-sizing for 2-3 passes (python-worker spawn + JIT/
+codegen; a 10^12-doc production run is steady-state by definition).
+Shuffle on tmpfs.
 
-| level | passes (s) | best (s) | docs/sec (best) | cold first pass (s) | hw calib (md5/s) |
+| level | warmup passes (s) | passes (s) | best (s) | docs/sec (best) | hw calib (md5/s) |
 | --- | --- | --- | --- | --- | --- |
-| local[{lo_c}] | {lo_r['passes']} | {lo_r['best_sec']} | {lo_r['docs_per_sec']} | {lo_r['warm_sec']} | {lo_r['calib_md5_per_sec']/1e6:.1f}M |
-| local[{hi_c}] | {hi_r['passes']} | {hi_r['best_sec']} | {hi_r['docs_per_sec']} | {hi_r['warm_sec']} | {hi_r['calib_md5_per_sec']/1e6:.1f}M |
+| local[{lo_c}] | {lo.warm_passes} | {lo_r['passes']} | {lo_r['best_sec']} | {lo_r['docs_per_sec']} | {lo_r['calib_md5_per_sec']/1e6:.1f}M |
+| local[{hi_c}] | {hi.warm_passes} | {hi_r['passes']} | {hi_r['best_sec']} | {hi_r['docs_per_sec']} | {hi_r['calib_md5_per_sec']/1e6:.1f}M |
 
 **Scaling efficiency (T_{lo_c} / T_{hi_c}) / {step}, per interleaved round
 (a {step}x parallelism step, {lo_c} -> {hi_c}):**
-{per_round} -> median **{eff_median}** (best-pass {eff_best});
-hardware ceiling {hw_eff}; pipeline/hardware **{result['normalized_efficiency'][f'{lo_c}->{hi_c}']}**.
+raw {per_round} -> median **{eff_median}** (best-pass {eff_best}).
+Hardware ceiling measured INSIDE each round window (md5 probe right
+before the passes): {per_round_hw}; per-round pipeline/hardware
+{per_round_norm} -> median **{norm_median}**.
 
-The hardware-calibration column is the aggregate md5 throughput of N
+The hardware-calibration probe is the aggregate md5 throughput of N
 independent *python processes* (no JVM, no shuffle, cache-resident):
 this box itself delivers less than {step}x going {lo_c} -> {hi_c} processes
 (turbo + steal), so the calibrated ceiling — not 1.0 — is the fair
-yardstick for a single-box measurement. A real {lo_c} -> {hi_c} *executor*
-scale-out multiplies memory bandwidth, shuffle disks and last-level cache
-{step}x; this box multiplies none of them. The pipeline/hardware row divides
-the host ceiling out.
+yardstick for a single-box measurement, and it drifts with the same
+host noise as the passes, which is why it is re-measured per round. A
+real {lo_c} -> {hi_c} *executor* scale-out multiplies memory bandwidth,
+shuffle disks and last-level cache {step}x; this box multiplies none of
+them. The pipeline/hardware numbers divide the host ceiling out.
 
 Per-stage scaling breakdown: `python bench_stages.py` — no single
 anti-scaling stage (all stages land in a similar efficiency band; the

@@ -42,10 +42,26 @@ def token_table(
     )
 
 
+def _safe_bucket_chars(tokens: DataFrame, floor_chars: int = 512) -> int:
+    """Smallest bucket width that preserves the ±1-guard-bucket as-of
+    guarantee for THIS token table: one guard bucket must reach back past
+    the longest (inter-token gap + token) run. One cheap eager agg."""
+    w = Window.partitionBy("doc_id").orderBy("cpos")
+    g = tokens.withColumn(
+        "_gap", F.col("begin") - F.coalesce(F.lag("end").over(w), F.lit(0))
+    )
+    row = g.agg(
+        F.max(F.col("end") - F.col("begin") + 1).alias("tok"),
+        F.max("_gap").alias("gap"),
+    ).first()
+    longest = int(row["tok"] or 0) + int(row["gap"] or 0)
+    return max(floor_chars, longest + 2)
+
+
 def align_mentions(
     mentions: DataFrame,
     tokens: DataFrame,
-    bucket_chars: int = 512,
+    bucket_chars: int | None = None,
     expand_to_token: bool = True,
 ) -> DataFrame:
     """Attach cpos_left / cpos_right to each (doc_id, start, text) mention.
@@ -71,7 +87,15 @@ def align_mentions(
     as-of boundary tokens must live as long as every token + gap is
     shorter than ``bucket_chars``. Per-mention work is then O(span/B · B)
     ≈ O(span), independent of document length.
+
+    ``bucket_chars=None`` (default) DERIVES a safe width from the data
+    (``_safe_bucket_chars``: ≥ longest gap+token run, floor 512), so
+    pathological whitespace or kilo-char tokens widen the buckets instead
+    of silently dropping the mention as 'inexact'. Pass an explicit int
+    to skip the derivation job when the corpus is known well-behaved.
     """
+    if bucket_chars is None:
+        bucket_chars = _safe_bucket_chars(tokens)
     m = mentions.withColumn("m_end", F.col("start") + F.length("text") - 1)
     tb = tokens.withColumn(
         "_bkt", F.floor((F.col("begin") - 1) / bucket_chars)

@@ -29,6 +29,13 @@ def close_redirects(redirects: DataFrame, max_iter: int = 20) -> DataFrame:
     Each round is persisted before the convergence probe — without it the
     probe's limit(1).count() re-executes every prior round's join
     (quadratic recomputation, deep-plan risk).
+
+    The returned DataFrame IS persisted (its plan is the full round
+    stack — unpersisting here would make every consumer recompute the
+    closure). The caller owns the release: ``write_closed_redirects``
+    unpersists after the parquet write, and ``run_pipeline`` unpersists
+    after its checkpointed canonicalize stage (or hands the handle back
+    as ``out["redirects_closed"]`` in lazy mode).
     """
     closed = redirects.select("src_uri", "dst_uri").persist()
     for _ in range(max_iter):
@@ -51,7 +58,9 @@ def close_redirects(redirects: DataFrame, max_iter: int = 20) -> DataFrame:
 def write_closed_redirects(redirects: DataFrame, path: str, max_iter: int = 20) -> None:
     """Offline dim refresh: close the relation and persist it for every
     subsequent pipeline run to consume pre-closed."""
-    close_redirects(redirects, max_iter=max_iter).write.mode("overwrite").parquet(path)
+    closed = close_redirects(redirects, max_iter=max_iter)
+    closed.write.mode("overwrite").parquet(path)
+    closed.unpersist()
 
 
 def close_redirects_local(redirects: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -18,7 +18,6 @@ triple set, plus the final write repartition. Everything else is narrow.
 
 from __future__ import annotations
 
-import os
 import tempfile
 from dataclasses import dataclass, field
 
@@ -28,7 +27,7 @@ from kgspark import canonicalize as canon
 from kgspark import disambig, entity_types, overlaps, segment, spot, triples
 from kgspark.automaton import write_lexicon_artifact
 from kgspark.extract import extract_text
-from kgspark.lineage import StageRunner
+from kgspark.lineage import StageRunner, _hadoop_fs
 
 
 @dataclass
@@ -82,12 +81,23 @@ def run_pipeline(
     # configured artifact that is already complete (_SUCCESS) is reused —
     # the production setup writes it once per lexicon refresh, like the
     # pre-closed redirects dim.
-    artifact = cfg.lexicon_artifact or (
-        os.path.join(cfg.checkpoint_root, "_lexicon_forms")
-        if cfg.checkpoint_root
-        else tempfile.mkdtemp(prefix="kgspark-lexicon-")
-    )
-    if cfg.lexicon_artifact and os.path.exists(os.path.join(artifact, "_SUCCESS")):
+    if cfg.lexicon_artifact:
+        artifact = cfg.lexicon_artifact
+    elif cfg.checkpoint_root:
+        artifact = cfg.checkpoint_root.rstrip("/") + "/_lexicon_forms"
+    elif spark.sparkContext.master.startswith("local"):
+        artifact = tempfile.mkdtemp(prefix="kgspark-lexicon-")
+    else:
+        # A driver-local tempdir is not executor-reachable on a real
+        # cluster — spotting workers could never read the artifact.
+        raise ValueError(
+            "run_pipeline on a non-local master needs lexicon_artifact or "
+            "checkpoint_root on a shared filesystem (HDFS/S3A/...)"
+        )
+    # Probe _SUCCESS through the Hadoop FileSystem API (not os.path), so
+    # reuse works when the artifact lives on HDFS/S3A.
+    fs, success = _hadoop_fs(spark, artifact.rstrip("/") + "/_SUCCESS")
+    if cfg.lexicon_artifact and fs.exists(success):
         automaton_src = artifact
     else:
         automaton_src = write_lexicon_artifact(lexicon, artifact)
@@ -162,11 +172,19 @@ def run_pipeline(
         "canonicalize",
         lambda: canon.canonicalize(typed, redirects_closed, sameas),
     )
+    if runner.enabled and not cfg.redirects_preclosed:
+        # canonicalize was materialized to parquet (lineage cut), so the
+        # closure's cached rounds are no longer reachable — release them
+        # instead of leaking a cached dim per pipeline run. In lazy mode
+        # the cache must outlive this call; it is exposed as
+        # out["redirects_closed"] and the caller owns the unpersist.
+        redirects_closed.unpersist()
 
     triple_df = runner.run("triples", lambda: triples.mentions_to_triples(canonical))
 
     return {
         "documents": docs,
+        "redirects_closed": redirects_closed,
         "segments": segs,
         "spots": spots,
         "mentions": linked,

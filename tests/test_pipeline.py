@@ -77,6 +77,26 @@ def test_checkpoint_resume(spark, tmp_path):
     assert manifest["output_rows"] == sum(p["rows"] for p in manifest["partitions"])
 
 
+def test_lexicon_artifact_reused_not_rewritten(spark, tmp_path):
+    """An explicitly configured, already-complete lexicon artifact is
+    reused (probed for _SUCCESS via the Hadoop FS API, so the check also
+    works on HDFS/S3A roots) — not rewritten every run."""
+    docs = synth.golden_documents(spark)
+    art = str(tmp_path / "lex_artifact")
+    cfg = PipelineConfig(lexicon_artifact=art)
+    _run(spark, docs, cfg)["triples"].count()
+    success = os.path.join(art, "_SUCCESS")
+    assert os.path.exists(success)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(art, f)) for f in os.listdir(art)
+    }
+    out2 = _run(spark, docs, cfg)
+    assert out2["triples"].count() > 0
+    assert {
+        f: os.path.getmtime(os.path.join(art, f)) for f in os.listdir(art)
+    } == mtimes
+
+
 def test_triples_deterministic_across_runs(spark):
     docs = synth.synth_documents(spark, n_docs=20)
     lex = synth.lexicon_df(spark)

@@ -109,6 +109,26 @@ def test_align_mentions_token_bounds(spark):
     assert got["alpha beta"] == (1, 2, "alpha|beta")
 
 
+def test_align_mentions_survives_giant_token(spark):
+    # a token 3x longer than the 512-char bucket floor, with a mention
+    # deep inside it: the token's begin-bucket is outside the mention's
+    # ±1 probe range at width 512, so the fixed width silently drops the
+    # mention — the derived width (_safe_bucket_chars) must keep it
+    big = "x" * 1500
+    text = f"alpha {big} omega"  # big: begin 7, end 1506
+    d = docs(spark, [(1, text)])
+    toks = token_table(d, doc_col="doc_id")
+    m = spark.createDataFrame(
+        [(1, 1107, "x" * 10)], ["doc_id", "start", "text"]
+    )
+    # old fixed-width behavior: probe buckets 1..3 miss begin-bucket 0 -> drop
+    assert drop_inexact(align_mentions(m, toks, bucket_chars=512)).count() == 0
+    # derived width (>= gap+token run) keeps the as-of guarantee
+    got = drop_inexact(align_mentions(m, toks)).collect()
+    assert len(got) == 1
+    assert (got[0]["cpos_left"], got[0]["cpos_right"]) == (2, 2)
+
+
 def test_sessionize_gap_rule(spark):
     pdf = pd.DataFrame({
         "event_id": [1, 2, 3, 4],
@@ -119,6 +139,19 @@ def test_sessionize_gap_rule(spark):
     ev = spark.createDataFrame(pdf)
     got = [r["session_id"] for r in sessionize(ev).orderBy("ts").collect()]
     assert got == ["7-1", "7-1", "7-2", "7-2"]
+
+
+def test_sessionize_string_user_keys(spark):
+    # non-numeric user ids (UUID-ish strings) must sessionize too
+    pdf = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": pd.to_datetime(["2026-01-01 00:00", "2026-01-01 00:10", "2026-01-01 02:00"]),
+        "user_id": ["u-abc", "u-abc", "u-abc"],
+        "value": [1.0, 2.0, 3.0],
+    })
+    ev = spark.createDataFrame(pdf)
+    got = [r["session_id"] for r in sessionize(ev).orderBy("ts").collect()]
+    assert got == ["u-abc-1", "u-abc-1", "u-abc-2"]
 
 
 def test_multimodal_plumbing(spark):
