@@ -111,12 +111,38 @@ def _burn(_):
 
 def hw_calib(procs: int) -> float:
     """Aggregate md5 throughput of `procs` python processes — the host's
-    parallel-compute capability at this moment (run from the parent: a
-    fork inside the live-JVM children is not fork-safe)."""
+    parallel-COMPUTE capability at this moment (cache-resident; run from
+    the parent: a fork inside the live-JVM children is not fork-safe)."""
     import multiprocessing as mp
 
     with mp.Pool(procs) as pool:
         return sum(pool.map(_burn, range(procs))) / 2.0
+
+
+def _bw_burn(_):
+    import time as _t
+
+    import numpy as np
+
+    a = np.zeros(128 * 1024 * 1024 // 8)  # 128 MB — far beyond L3
+    t0 = _t.time()
+    k = 0
+    while _t.time() - t0 < 2.0:
+        a += 1.0  # streams read+write of the full buffer per iteration
+        k += 1
+    return k
+
+
+def bw_calib(procs: int) -> float:
+    """Aggregate streaming-memory throughput of `procs` processes — the
+    host's parallel DRAM-BANDWIDTH capability. A single box does not
+    multiply memory bandwidth with thread count the way a cluster
+    multiplies it with executors, so this ceiling brackets the pipeline
+    from below (the pipeline streams 100s of MB of shuffle/scan data)."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as pool:
+        return sum(pool.map(_bw_burn, range(procs))) / 2.0
 
 
 class Level:
@@ -174,13 +200,18 @@ def main() -> None:
 
     per_round = []
     per_round_hw = []
+    per_round_bw = []
     per_round_norm = []
     for _ in range(rounds):
-        # hardware probe INSIDE the round window: the host's own 8->32
-        # ceiling drifts with the same steal/turbo noise as the passes, so
-        # each round is normalized against the ceiling measured alongside it
+        # hardware probes INSIDE the round window: the host's own 8->32
+        # ceilings drift with the same steal/turbo noise as the passes, so
+        # each round is normalized against the ceiling measured alongside
+        # it. Two probes bracket the workload: cache-resident md5 (compute
+        # ceiling) and 128MB-streaming adds (DRAM-bandwidth ceiling).
         c_lo, c_hi = hw_calib(lo_c), hw_calib(hi_c)
+        b_lo, b_hi = bw_calib(lo_c), bw_calib(hi_c)
         hw_r = (c_hi / c_lo) / (hi_c / lo_c)
+        bw_r = (b_hi / b_lo) / (hi_c / lo_c)
         a = lo.cmd("run")["sec"]
         b = hi.cmd("run")["sec"]
         lo.passes.append(a)
@@ -188,6 +219,7 @@ def main() -> None:
         eff = (a / b) / (hi_c / lo_c)
         per_round.append(round(eff, 3))
         per_round_hw.append(round(hw_r, 3))
+        per_round_bw.append(round(bw_r, 3))
         per_round_norm.append(round(eff / hw_r, 3))
     lo.calibs.append(hw_calib(lo_c))
     hi.calibs.append(hw_calib(hi_c))
@@ -208,6 +240,7 @@ def main() -> None:
                          "calib_md5_per_sec": hi.calibs[0]},
         "per_round_efficiency": per_round,
         "per_round_hw_ceiling": per_round_hw,
+        "per_round_bw_ceiling": per_round_bw,
         "per_round_normalized": per_round_norm,
         "warm_passes": {f"local{lo_c}": lo.warm_passes,
                         f"local{hi_c}": hi.warm_passes},
@@ -217,6 +250,9 @@ def main() -> None:
         "normalized_efficiency": {f"{lo_c}->{hi_c}": norm_median},
     }
     print(json.dumps(result))
+    os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
+    with open(os.path.join(HERE, "BENCH", f"SCALING_{lo_c}_{hi_c}.json"), "w") as fh:
+        fh.write(json.dumps(result) + "\n")
 
     lo_r, hi_r = result[f"local{lo_c}"], result[f"local{hi_c}"]
     step = hi_c // lo_c
