@@ -287,6 +287,84 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def _pii_docs(spark, sf_dir):
+    """Documents with deterministically synthesized PII appended (the sf
+    corpora are PII-free word salad; the oracle synthesizes the identical
+    text from the same tables — kgspark.oracles.q_pii_scrub)."""
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    email = F.when(i % 3 != 0, F.concat(
+        F.lit(" contact user"), sid, F.lit("@example.com"))).otherwise(F.lit(""))
+    ip = F.when(i % 4 != 0, F.concat(
+        F.lit(" from 10.0."), (i % 256).cast("string"),
+        F.lit("."), (i % 200).cast("string"))).otherwise(F.lit(""))
+    phone = F.when(i % 5 != 0, F.concat(
+        F.lit(" call +1 (555) 010-"),
+        F.lpad((i % 10000).cast("string"), 4, "0"))).otherwise(F.lit(""))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), email, ip, phone).alias("text"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    d = _pii_docs(spark, sf_dir)
+    n_email, n_ip, n_phone = textops.pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+        F.md5(textops.pii_scrub(F.col("text"))).alias("clean_fp"),
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    # The sf corpora are single-line; synthesize line structure the same
+    # deterministic way as the oracle (' the ' -> newline).
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text"))
+    stats = textops.repetition_stats(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in stats.items()])
+
+
+def _url_docs(spark, sf_dir):
+    """Documents with a deterministically synthesized crawl URL (case,
+    default-port, trailing-slash, utm-query and fragment noise) — the
+    oracle builds the identical URLs (kgspark.oracles.q_url_normalize)."""
+    i = F.col("doc_id")
+    scheme = F.when(i % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://"))
+    host = F.concat(
+        F.col("source"),
+        F.when(i % 2 == 0, F.lit(".Example.COM")).otherwise(F.lit(".example.com")),
+        F.when(i % 3 == 0, F.lit(":443")).otherwise(F.lit("")))
+    path = F.concat(F.lit("/page/"), (i % 50).cast("string"),
+                    F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")))
+    query = F.when(i % 5 == 0, F.lit("?utm_source=feed")).otherwise(F.lit(""))
+    frag = F.when(i % 7 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat(scheme, host, path, query, frag).alias("url"))
+
+
+def q_url_normalize(spark, sf_dir):
+    return _url_docs(spark, sf_dir).select(
+        "doc_id",
+        textops.url_normalize(F.col("url")).alias("url_norm"),
+        textops.url_host(F.col("url")).alias("host"),
+    )
+
+
+def q_url_host_stats(spark, sf_dir):
+    return (
+        q_url_normalize(spark, sf_dir)
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("url_norm").alias("n_urls"),
+        )
+        .withColumn("dup_url_frac",
+                    F.round(F.lit(1.0) - F.col("n_urls") / F.col("n_docs"), 6))
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(_docs(spark, sf_dir))
 
@@ -609,6 +687,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "url_normalize": q_url_normalize,
+        "url_host_stats": q_url_host_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram,
@@ -659,6 +741,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": oracles.q_quality(),
         "token_counts": oracles.q_token_counts(),
         "fingerprint": oracles.q_fingerprint(),
+        "pii_scrub": oracles.q_pii_scrub(),
+        "repetition_stats": oracles.q_repetition_stats(),
+        "url_normalize": oracles.q_url_normalize(),
+        "url_host_stats": oracles.q_url_host_stats(),
         "dedup_exact": oracles.q_dedup_exact(),
         "dedup_minhash_lsh": oracles.q_dedup_minhash(),
         "dedup_ngram_jaccard": oracles.q_dedup_minhash(

@@ -93,6 +93,9 @@ def main() -> None:
         "resolve_overlap",
         "triples",
         "align_tokens",
+        "pii_scrub",
+        "repetition_stats",
+        "url_host_stats",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",

@@ -95,10 +95,17 @@ for line in sys.stdin:
 """
 
 
-def _burn(_):
+def _burn(procs):
     import hashlib
     import time as _t
 
+    # Pin to the SAME core set the measured job runs on (see Level): the
+    # ceiling must be the capability of those N cores, not of free-floating
+    # processes the scheduler may spread across the whole box.
+    try:
+        os.sched_setaffinity(0, set(range(procs)))
+    except OSError:
+        pass
     h = b"x" * 64
     t0 = _t.time()
     k = 0
@@ -110,13 +117,14 @@ def _burn(_):
 
 
 def hw_calib(procs: int) -> float:
-    """Aggregate md5 throughput of `procs` python processes — the host's
-    parallel-COMPUTE capability at this moment (cache-resident; run from
-    the parent: a fork inside the live-JVM children is not fork-safe)."""
+    """Aggregate md5 throughput of `procs` python processes pinned to cores
+    0..procs-1 — the host's parallel-COMPUTE capability on that core set at
+    this moment (cache-resident; run from the parent: a fork inside the
+    live-JVM children is not fork-safe)."""
     import multiprocessing as mp
 
     with mp.Pool(procs) as pool:
-        return sum(pool.map(_burn, range(procs))) / 2.0
+        return sum(pool.map(_burn, [procs] * procs)) / 2.0
 
 
 def _bw_burn(_):
@@ -138,7 +146,12 @@ def bw_calib(procs: int) -> float:
     host's parallel DRAM-BANDWIDTH capability. A single box does not
     multiply memory bandwidth with thread count the way a cluster
     multiplies it with executors, so this ceiling brackets the pipeline
-    from below (the pipeline streams 100s of MB of shuffle/scan data)."""
+    from below (the pipeline streams 100s of MB of shuffle/scan data).
+
+    OPT-IN (KGSPARK_SCALE_BW=1): allocating+streaming procs x 128MB right
+    before a timed pass evicts the live JVMs' page cache and perturbs the
+    measurement it is meant to calibrate (observed: nonsense per-round bw
+    ratios like 0.012 alongside bimodal pass times)."""
     import multiprocessing as mp
 
     with mp.Pool(procs) as pool:
@@ -149,8 +162,19 @@ class Level:
     def __init__(self, cpus: int, n_docs: int):
         self.cpus = cpus
         env = {**os.environ, "KGSPARK_HOME": HERE}
+        # CRITICAL: taskset pins the child JVM AND every python worker it
+        # forks to exactly `cpus` cores. Bare local[N] only bounds TASK
+        # SLOTS — python UDF workers, Arrow serializer threads and GC run
+        # outside the slots, so an unpinned local[2] burns ~3 cores and
+        # understates 2->8 scaling (measured: parallel-work ratio 3.05x
+        # instead of 4x). Pinning is what makes local[N] emulate an N-core
+        # executor. The two children never run passes concurrently
+        # (interleaved protocol), so overlapping core sets are fine.
+        cmd = [sys.executable, "-c", CHILD, str(cpus), str(n_docs)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         self.proc = subprocess.Popen(
-            [sys.executable, "-c", CHILD, str(cpus), str(n_docs)],
+            cmd,
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True, env=env,
         )
@@ -209,9 +233,10 @@ def main() -> None:
         # it. Two probes bracket the workload: cache-resident md5 (compute
         # ceiling) and 128MB-streaming adds (DRAM-bandwidth ceiling).
         c_lo, c_hi = hw_calib(lo_c), hw_calib(hi_c)
-        b_lo, b_hi = bw_calib(lo_c), bw_calib(hi_c)
         hw_r = (c_hi / c_lo) / (hi_c / lo_c)
-        bw_r = (b_hi / b_lo) / (hi_c / lo_c)
+        if os.environ.get("KGSPARK_SCALE_BW") == "1":
+            b_lo, b_hi = bw_calib(lo_c), bw_calib(hi_c)
+            per_round_bw.append(round((b_hi / b_lo) / (hi_c / lo_c), 3))
         a = lo.cmd("run")["sec"]
         b = hi.cmd("run")["sec"]
         lo.passes.append(a)
@@ -219,7 +244,6 @@ def main() -> None:
         eff = (a / b) / (hi_c / lo_c)
         per_round.append(round(eff, 3))
         per_round_hw.append(round(hw_r, 3))
-        per_round_bw.append(round(bw_r, 3))
         per_round_norm.append(round(eff / hw_r, 3))
     lo.calibs.append(hw_calib(lo_c))
     hi.calibs.append(hw_calib(hi_c))
@@ -253,66 +277,134 @@ def main() -> None:
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
     with open(os.path.join(HERE, "BENCH", f"SCALING_{lo_c}_{hi_c}.json"), "w") as fh:
         fh.write(json.dumps(result) + "\n")
+    write_baseline_md()
 
-    lo_r, hi_r = result[f"local{lo_c}"], result[f"local{hi_c}"]
+
+def _run_section(res: dict) -> str:
+    """One markdown section for a persisted SCALING_{lo}_{hi}.json result."""
+    levels = sorted(int(k[5:]) for k in res if k.startswith("local"))
+    lo_c, hi_c = levels
+    lo_r, hi_r = res[f"local{lo_c}"], res[f"local{hi_c}"]
     step = hi_c // lo_c
-    md = f"""# BENCH — measured baseline ({n_docs} input_hint-shaped docs, end-to-end ingest->triples)
-
-Cluster-size scaling evidenced per the sandbox rule: the identical job +
-input at N={lo_c} and {step}N={hi_c} parallelism (local[N] on one machine — the
-stand-in for {lo_c} vs {hi_c} executors). **Interleaved protocol**: both levels run as live JVMs
-and single passes alternate between them, because this VM's effective CPU
-swings 30-40% on multi-minute timescales (measured: the same local[32]
-pass repeated in one JVM ranged 69-120 s with flat tmpfs/heap/cache) — a
-sequential A-then-B run compares different machines. Per-round ratios
-sample the same host-speed window. Warm-up passes per level excluded —
-ADAPTIVELY: each level re-runs the job until the pass-over-pass
-improvement drops under 10% (max 4), because the wide level keeps
-JIT-compiling/heap-sizing for 2-3 passes (python-worker spawn + JIT/
-codegen; a 10^12-doc production run is steady-state by definition).
-Shuffle on tmpfs.
+    pair = f"{lo_c}->{hi_c}"
+    warm = res.get("warm_passes", {})
+    rows = []
+    for c, r in ((lo_c, lo_r), (hi_c, hi_r)):
+        rows.append(
+            f"| local[{c}] | {warm.get(f'local{c}', [r['warm_sec']])} | "
+            f"{r['passes']} | {r['best_sec']} | {r['docs_per_sec']} | "
+            f"{r['calib_md5_per_sec']/1e6:.1f}M |")
+    bw_line = ""
+    if res.get("per_round_bw_ceiling"):
+        bw_line = (f"DRAM-bandwidth ceiling (128MB-streaming probe, same "
+                   f"windows): {res['per_round_bw_ceiling']}.\n")
+    return f"""## {lo_c} -> {hi_c} (a {step}x parallelism step, {lo_r['n_docs']} docs)
 
 | level | warmup passes (s) | passes (s) | best (s) | docs/sec (best) | hw calib (md5/s) |
 | --- | --- | --- | --- | --- | --- |
-| local[{lo_c}] | {lo.warm_passes} | {lo_r['passes']} | {lo_r['best_sec']} | {lo_r['docs_per_sec']} | {lo_r['calib_md5_per_sec']/1e6:.1f}M |
-| local[{hi_c}] | {hi.warm_passes} | {hi_r['passes']} | {hi_r['best_sec']} | {hi_r['docs_per_sec']} | {hi_r['calib_md5_per_sec']/1e6:.1f}M |
+{chr(10).join(rows)}
 
-**Scaling efficiency (T_{lo_c} / T_{hi_c}) / {step}, per interleaved round
-(a {step}x parallelism step, {lo_c} -> {hi_c}):**
-raw {per_round} -> median **{eff_median}** (best-pass {eff_best}).
-Hardware ceiling measured INSIDE each round window (md5 probe right
-before the passes): {per_round_hw}; per-round pipeline/hardware
-{per_round_norm} -> median **{norm_median}**.
+**Scaling efficiency (T_{lo_c} / T_{hi_c}) / {step}, per interleaved round:**
+raw {res['per_round_efficiency']} -> median **{res['scaling_efficiency'][pair]}**
+(best-pass {res['best_pass_efficiency'][pair]}).
+Hardware compute ceiling measured INSIDE each round window (md5 probe
+right before the passes): {res['per_round_hw_ceiling']}; per-round
+pipeline/hardware {res['per_round_normalized']} -> median
+**{res['normalized_efficiency'][pair]}**.
+{bw_line}"""
 
-The hardware-calibration probe is the aggregate md5 throughput of N
-independent *python processes* (no JVM, no shuffle, cache-resident):
-this box itself delivers less than {step}x going {lo_c} -> {hi_c} processes
-(turbo + steal), so the calibrated ceiling — not 1.0 — is the fair
-yardstick for a single-box measurement, and it drifts with the same
-host noise as the passes, which is why it is re-measured per round. A
-real {lo_c} -> {hi_c} *executor* scale-out multiplies memory bandwidth,
-shuffle disks and last-level cache {step}x; this box multiplies none of
-them. The pipeline/hardware numbers divide the host ceiling out.
 
-Per-stage scaling breakdown: `python bench_stages.py` — no single
-anti-scaling stage (all stages land in a similar efficiency band; the
-wide shuffles, triples-distinct and the overlap window family, are the
-heaviest absolute costs and the first candidates for real-cluster
-tuning). Plan audit: BENCH/PLANS.md — one doc-keyed exchange for the
-overlap family, broadcast joins for every dim, partial aggregation
-before every wide shuffle.
+def write_baseline_md() -> None:
+    """Compose BENCH/BASELINE.md from ALL persisted SCALING_*.json runs.
 
-Pipeline: extract(html->text, pandas UDF) -> segment (+stitch bounds) ->
-Aho-Corasick spot (per-worker automaton from the parquet artifact) ->
-candidates x broadcast lexicon -> prior+context disambiguation (min_by
-hash agg) -> overlap detect/categorize/resolve (doc-local windows, one
-exchange, one hit/miss split around the window family) -> entity types ->
-pre-closed redirect + sameAs broadcast joins -> distinct (subj, pred, obj)
-triples (noop sink).
+    Multiple level pairs are evidence, not alternatives: the low pair
+    (e.g. 2->8) measures the pipeline's own 4x scaling while the box still
+    has hardware headroom; the high pair (e.g. 8->32) additionally saturates
+    this single box's shared memory bandwidth / LLC — resources a real
+    4x executor scale-out multiplies but one VM cannot.
+    """
+    import glob
+
+    runs = []
+    for path in sorted(glob.glob(os.path.join(HERE, "BENCH", "SCALING_*.json"))):
+        with open(path) as fh:
+            runs.append(json.load(fh))
+    runs.sort(key=lambda r: min(int(k[5:]) for k in r if k.startswith("local")))
+    sections = "\n".join(_run_section(r) for r in runs)
+
+    headline = ""
+    for r in runs:
+        for pair, eff in r["scaling_efficiency"].items():
+            lo_c, hi_c = (int(x) for x in pair.split("->"))
+            if hi_c == 4 * lo_c:
+                norm = r["normalized_efficiency"][pair]
+                headline += (f"- **{pair} (4x step): median efficiency "
+                             f"{eff}** (pipeline/hardware-ceiling {norm}).\n")
+
+    md = f"""# BENCH — measured scaling baseline (end-to-end ingest->triples)
+
+Cluster-size scaling evidenced per the sandbox rule: the identical job +
+identical input at N and 4N parallelism (local[N] on one machine — the
+sandbox stand-in for N vs 4N executors).
+
+{headline}
+**Protocol** (shared by every run below):
+- **Core pinning**: each level's child JVM — and every python UDF worker
+  it forks — is pinned with `taskset -c 0-(N-1)` to exactly N cores.
+  Bare local[N] only bounds TASK SLOTS; python workers, Arrow serializer
+  threads and GC run outside the slots, so an unpinned local[2] burns ~3
+  cores and understates 2->8 scaling (measured: parallel-work ratio 3.05x
+  instead of 4x before pinning). Pinning is what makes local[N] emulate
+  an N-core executor.
+- **Interleaving**: both levels run as live child JVMs and single passes
+  ALTERNATE between them (N, 4N, N, 4N, ...) because this VM's effective
+  CPU swings 30-40% on multi-minute timescales (measured: the same
+  local[32] pass repeated in one JVM ranged 69-120 s with flat
+  tmpfs/heap/cache) — a sequential A-then-B run compares different
+  machines; per-round ratios sample the same host-speed window.
+- **Adaptive warm-up**, excluded from measurement: each level re-runs the
+  job until pass-over-pass improvement drops under 10% (max 4), because
+  the wide level keeps JIT-compiling/heap-sizing for 2-3 passes (a
+  10^12-doc production run is steady-state by definition). Shuffle on
+  tmpfs.
+- **In-window calibration**: a cache-resident md5 probe, pinned to the
+  same core sets, runs inside each round's window — the host's own
+  parallel-compute N->4N ceiling at that moment. This box delivers less
+  than 4x at the wide step (turbo + steal + one fixed memory bus), so
+  the calibrated ceiling — not 1.0 — is the fair single-box yardstick; a
+  real N->4N *executor* scale-out multiplies memory bandwidth, shuffle
+  disks and last-level cache 4x, while one VM multiplies none of them.
+  The pipeline/hardware rows divide the measured host ceiling out. (A
+  DRAM-bandwidth probe exists behind KGSPARK_SCALE_BW=1 but is off by
+  default: streaming 128MB x N right before a timed pass evicts the live
+  JVMs' page cache and perturbs the very measurement it calibrates.)
+
+{sections}
+**Why the low pair is the primary 4x evidence**: at 2->8 the box still
+has idle cores, so the step isolates the PIPELINE's scaling behavior
+(shuffle fan-in, task skew, driver barriers) — exactly what transfers to
+a real 8->32-executor scale-out. At 8->32 the passes additionally compete
+for one VM's fixed memory bus and LLC; the md5/bandwidth probes show the
+hardware itself stops delivering 4x there, which is a property of the
+sandbox, not the plan. Per-stage breakdown: `python bench_stages.py` —
+no single anti-scaling stage (the wide shuffles, triples-distinct and the
+overlap window family, are the heaviest absolute costs and the first
+candidates for real-cluster tuning). Plan audit: BENCH/PLANS.md — one
+doc-keyed exchange for the overlap family, broadcast joins for every dim,
+partial aggregation before every wide shuffle.
+
+Pipeline under test: extract(html->text, pandas UDF) -> segment (+stitch
+bounds) -> Aho-Corasick spot (per-worker automaton from the parquet
+artifact) -> candidates x broadcast lexicon -> prior+context
+disambiguation (min_by hash agg) -> overlap detect/categorize/resolve
+(doc-local windows, one exchange, one hit/miss split around the window
+family) -> entity types -> pre-closed redirect + sameAs broadcast joins
+-> distinct (subj, pred, obj) triples (noop sink).
 
 Reproduce: `python bench_scaling.py` (env: KGSPARK_SCALE_DOCS,
-KGSPARK_SCALE_LEVELS, KGSPARK_SCALE_ROUNDS). Per-operator timings:
-`python bench.py`.
+KGSPARK_SCALE_LEVELS, KGSPARK_SCALE_ROUNDS); each run persists
+BENCH/SCALING_{{lo}}_{{hi}}.json and this file is regenerated from all of
+them. Per-operator timings: `python bench.py`.
 """
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
     with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as fh:

@@ -25,7 +25,7 @@ from kgspark.synth import (
     SAMEAS_ROWS,
     LABEL_ROWS,
 )
-from kgspark.textops import BPE_PATTERN
+from kgspark.textops import BPE_PATTERN, EMAIL_PATTERN, IPV4_PATTERN, PHONE_PATTERN
 
 MIN_SUPPORT = 20
 CONFIDENCE = 0.35
@@ -446,6 +446,84 @@ FROM documents"""
 
 def q_fingerprint() -> str:
     return r"SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint FROM documents"
+
+
+# Synthesized-PII corpus: must stay in lockstep with __spark_entry__._pii_docs.
+_PII_CTE = """p AS (SELECT doc_id, text
+    || CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 <> 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 5 <> 0 THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    AS text FROM documents)"""
+
+
+def q_pii_scrub() -> str:
+    """Sequential email -> IPv4 -> phone redaction, counts taken at each
+    stage on the not-yet-redacted text (mirrors textops.pii_counts)."""
+    return f"""WITH {_PII_CTE},
+  s1 AS (SELECT doc_id, text, regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g') AS t1 FROM p),
+  s2 AS (SELECT doc_id, text, t1, regexp_replace(t1, '{IPV4_PATTERN}', '<IP>', 'g') AS t2 FROM s1)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS n_emails,
+  len(regexp_extract_all(t1, '{IPV4_PATTERN}')) AS n_ips,
+  len(regexp_extract_all(t2, '{PHONE_PATTERN}')) AS n_phones,
+  md5(regexp_replace(t2, '{PHONE_PATTERN}', '<PHONE>', 'g')) AS clean_fp
+FROM s2"""
+
+
+def q_repetition_stats() -> str:
+    """Gopher-style repetition stats over line-synthesized text (' the '
+    -> newline, mirroring __spark_entry__.q_repetition_stats)."""
+    return r"""WITH d AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents),
+  arrs AS (SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS lines,
+    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS toks
+  FROM d),
+  st AS (SELECT doc_id,
+    len(toks) AS n_words,
+    round(CASE WHEN len(lines) > 0 THEN 1.0 - len(list_distinct(lines)) / len(lines) ELSE 0.0 END, 6) AS dup_line_frac,
+    round(CASE WHEN len(toks) > 0 THEN 1.0 - len(list_distinct(toks)) / len(toks) ELSE 0.0 END, 6) AS dup_word_frac,
+    round(CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, t -> length(t))) / len(toks) ELSE 0.0 END, 6) AS mean_word_len,
+    round(CASE WHEN len(toks) > 0 THEN len(regexp_extract_all(text, '#|\.\.\.')) / len(toks) ELSE 0.0 END, 6) AS symbol_word_ratio
+  FROM arrs)
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND dup_line_frac <= 0.30 AND symbol_word_ratio <= 0.10) AS gopher_keep
+FROM st"""
+
+
+# Synthesized-URL corpus: must stay in lockstep with __spark_entry__._url_docs.
+_URL_CTE = """u AS (SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+    || source
+    || (CASE WHEN doc_id % 2 = 0 THEN '.Example.COM' ELSE '.example.com' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+    || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+    AS url FROM documents)"""
+
+_URL_NORM = r"""norm AS (SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+    || '://'
+    || regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(80|443)$', '')
+    || regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '')
+    AS url_norm,
+    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(80|443)$', '') AS host
+  FROM u)"""
+
+
+def q_url_normalize() -> str:
+    return f"WITH {_URL_CTE},\n  {_URL_NORM}\nSELECT doc_id, url_norm, host FROM norm"
+
+
+def q_url_host_stats() -> str:
+    return f"""WITH {_URL_CTE},
+  {_URL_NORM}
+SELECT host, count(*) AS n_docs, count(DISTINCT url_norm) AS n_urls,
+  round(1.0 - count(DISTINCT url_norm) / count(*), 6) AS dup_url_frac
+FROM norm GROUP BY host"""
 
 
 # ---------------------------------------------------------------------------

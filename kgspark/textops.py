@@ -84,3 +84,102 @@ def fingerprint(col: Column) -> Column:
     """Rolling content fingerprint: md5 of lowercased, whitespace-collapsed
     text. Stable across engines (md5 is bit-identical everywhere)."""
     return F.md5(F.lower(F.regexp_replace(col, r"\s+", " ")))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — crawl-scale redaction before training-data materialization.
+# Patterns are deliberately restricted to syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{6,14}[0-9]"
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) BEFORE redaction, in scrub order."""
+    n_email = F.regexp_count(col, F.lit(EMAIL_PATTERN))
+    after_email = F.regexp_replace(col, EMAIL_PATTERN, "<EMAIL>")
+    n_ip = F.regexp_count(after_email, F.lit(IPV4_PATTERN))
+    after_ip = F.regexp_replace(after_email, IPV4_PATTERN, "<IP>")
+    n_phone = F.regexp_count(after_ip, F.lit(PHONE_PATTERN))
+    return n_email, n_ip, n_phone
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact emails -> IPv4s -> phones (that order: an IP's digit runs must
+    not be half-eaten by the looser phone pattern). Pure regexp_replace
+    chain — whole-stage codegen, no UDF, no shuffle."""
+    out = F.regexp_replace(col, EMAIL_PATTERN, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_PATTERN, "<IP>")
+    return F.regexp_replace(out, PHONE_PATTERN, "<PHONE>")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality statistics (Rae et al. 2021, table A1):
+# duplicate-line fraction, duplicate-word fraction, mean word length,
+# symbol-to-word ratio, and the keep flag combining them. All pure array
+# expressions; the keep flag is derived from the ROUNDED statistics so the
+# boolean cannot diverge from the oracle on float ulps at a threshold.
+def _nonempty(arr: Column) -> Column:
+    return F.filter(arr, lambda x: F.length(x) > 0)
+
+
+def repetition_stats(col: Column) -> dict[str, Column]:
+    lines = _nonempty(F.split(col, "\n"))
+    toks = _nonempty(F.split(col, r"\s+"))
+    n_lines = F.size(lines)
+    n_words = F.size(toks)
+    dup_line_frac = F.round(
+        F.when(n_lines > 0,
+               F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines
+               ).otherwise(F.lit(0.0)), 6)
+    dup_word_frac = F.round(
+        F.when(n_words > 0,
+               F.lit(1.0) - F.size(F.array_distinct(toks)) / n_words
+               ).otherwise(F.lit(0.0)), 6)
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda acc, t: acc + F.length(t))
+    mean_word_len = F.round(
+        F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0)), 6)
+    symbol_word_ratio = F.round(
+        F.when(n_words > 0,
+               F.regexp_count(col, F.lit(r"#|\.\.\.")) / n_words
+               ).otherwise(F.lit(0.0)), 6)
+    keep = (
+        (n_words >= 50) & (n_words <= 100000)
+        & (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+        & (dup_line_frac <= 0.30) & (symbol_word_ratio <= 0.10)
+    )
+    return {
+        "n_words": n_words,
+        "dup_line_frac": dup_line_frac,
+        "dup_word_frac": dup_word_frac,
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_word_ratio,
+        "gopher_keep": keep,
+    }
+
+
+# ---------------------------------------------------------------------------
+# URL normalization — canonical form for crawl-level dedup and per-host
+# aggregation (the input_hint table keys pages by url). Regex-only so the
+# DuckDB oracle is an exact mirror; no parse_url (DuckDB has none).
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host with any :80/:443 default port stripped."""
+    return F.regexp_replace(F.lower(F.regexp_extract(col, _HOST_RE, 1)),
+                            ":(80|443)$", "")
+
+
+def url_normalize(col: Column) -> Column:
+    """scheme://host/path with lowercased scheme+host, default port, query
+    string, fragment and trailing slash stripped. Rows that do not look
+    like absolute URLs normalize to '' (callers filter)."""
+    scheme = F.lower(F.regexp_extract(col, _SCHEME_RE, 1))
+    path = F.regexp_replace(F.regexp_extract(col, _PATH_RE, 1), "/$", "")
+    return F.when(scheme == "", F.lit("")).otherwise(
+        F.concat(scheme, F.lit("://"), url_host(col), path))

@@ -1,0 +1,111 @@
+"""PII scrubbing, Gopher-style repetition stats, URL normalization.
+
+Unit tests on crafted rows plus the DuckDB oracle gate at sf0.001 for the
+four new training-data queries (pii_scrub, repetition_stats,
+url_normalize, url_host_stats).
+"""
+
+import sys
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+from kgspark import textops
+from scripts.check_oracle import TABLES, table_hash
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# unit: pii_scrub
+def test_pii_scrub_redacts_all_three(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.co.uk from 192.168.0.1 call +1 (555) 010-1234 done")],
+        "id int, text string",
+    )
+    out = df.select(textops.pii_scrub(F.col("text")).alias("t")).first().t
+    assert out == "mail <EMAIL> from <IP> call <PHONE> done"
+
+
+def test_pii_counts_sequential(spark):
+    # the IP must be counted/redacted before the looser phone pattern runs
+    df = spark.createDataFrame([(1, "x 10.0.12.34 y 5551234567 z a@b.io")],
+                               "id int, text string")
+    n_email, n_ip, n_phone = textops.pii_counts(F.col("text"))
+    r = df.select(n_email.alias("e"), n_ip.alias("i"), n_phone.alias("p")).first()
+    assert (r.e, r.i, r.p) == (1, 1, 1)
+
+
+def test_pii_scrub_no_pii_is_identity(spark):
+    df = spark.createDataFrame([(1, "plain words only here")], "id int, text string")
+    assert df.select(textops.pii_scrub(F.col("text")).alias("t")).first().t == \
+        "plain words only here"
+
+
+# ---------------------------------------------------------------------------
+# unit: repetition_stats
+def test_repetition_dup_lines(spark):
+    text = "\n".join(["same line"] * 3 + ["other line"])  # 4 lines, 2 distinct
+    df = spark.createDataFrame([(1, text)], "id int, text string")
+    stats = textops.repetition_stats(F.col("text"))
+    r = df.select(*[c.alias(k) for k, c in stats.items()]).first()
+    assert r.dup_line_frac == 0.5
+    assert r.n_words == 8
+    assert r.dup_word_frac == pytest.approx(1 - 3 / 8)  # {same, line, other}
+    assert not r.gopher_keep  # < 50 words
+
+
+def test_repetition_gopher_keep(spark):
+    good = " ".join(f"word{i}" for i in range(60))
+    df = spark.createDataFrame([(1, good)], "id int, text string")
+    stats = textops.repetition_stats(F.col("text"))
+    r = df.select(*[c.alias(k) for k, c in stats.items()]).first()
+    assert r.gopher_keep
+    assert r.dup_line_frac == 0.0
+
+
+# ---------------------------------------------------------------------------
+# unit: url_normalize
+@pytest.mark.parametrize("raw,norm,host", [
+    ("HTTPS://WWW.Example.COM:443/A/b/?q=1#f", "https://www.example.com/A/b",
+     "www.example.com"),
+    ("http://h.io:80/", "http://h.io", "h.io"),
+    ("http://h.io:8080/x", "http://h.io:8080/x", "h.io:8080"),
+    ("https://h.io", "https://h.io", "h.io"),
+    ("not a url", "", ""),
+])
+def test_url_normalize(spark, raw, norm, host):
+    df = spark.createDataFrame([(raw,)], "url string")
+    r = df.select(textops.url_normalize(F.col("url")).alias("n"),
+                  textops.url_host(F.col("url")).alias("h")).first()
+    assert (r.n, r.h) == (norm, host)
+
+
+# ---------------------------------------------------------------------------
+# oracle gate for the four new queries at sf0.001
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize(
+    "name", ["pii_scrub", "repetition_stats", "url_normalize", "url_host_stats"])
+def test_llmops_oracle_match(spark, duck, name):
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    sdf = qs[name](spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(osql[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows), f"{name}: row counts differ"
+    assert sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in ocols)
+    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows), \
+        f"{name}: value hash differs"
