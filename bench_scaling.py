@@ -314,6 +314,28 @@ pipeline/hardware {res['per_round_normalized']} -> median
 {bw_line}"""
 
 
+def _skew_section() -> str:
+    """Giant-document skew evidence from bench_skew.py, if present."""
+    path = os.path.join(HERE, "BENCH", "SKEW.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as fh:
+        s = json.load(fh)
+    return f"""## Large-document skew (north rule: skew handled explicitly)
+
+`python bench_skew.py`: {s['n_docs']} docs of which {s['giant_docs']} are
+~{s['giant_words']:,}-word giants, parts == cores == {s['cpus']} (one
+scheduling wave, so the giant-doc partitions are true stragglers). The
+identical ingest->triples job with `rebalance_segments` OFF vs ON
+(salted repartition of segments right after the explode), alternating
+passes in one JVM, best of {len(s['passes']['off'])}:
+OFF {s['best_rebalance_off_sec']} s, ON {s['best_rebalance_on_sec']} s —
+**{s['skew_speedup']}x speedup** from explicit skew breaking
+(BENCH/SKEW.json).
+
+"""
+
+
 def write_baseline_md() -> None:
     """Compose BENCH/BASELINE.md from ALL persisted SCALING_*.json runs.
 
@@ -379,7 +401,7 @@ sandbox stand-in for N vs 4N executors).
   default: streaming 128MB x N right before a timed pass evicts the live
   JVMs' page cache and perturbs the very measurement it calibrates.)
 
-{sections}
+{sections}{_skew_section()}
 **Why the low pair is the primary 4x evidence**: at 2->8 the box still
 has idle cores, so the step isolates the PIPELINE's scaling behavior
 (shuffle fan-in, task skew, driver barriers) — exactly what transfers to

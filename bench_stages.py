@@ -113,8 +113,13 @@ print(json.dumps({"cpus": cpus, "n_docs": n_docs, "stages": timings,
 
 def run_level(cpus: int, n_docs: int) -> dict:
     env = {**os.environ, "KGSPARK_HOME": HERE}
+    # Pin JVM + python workers to exactly `cpus` cores — bare local[N]
+    # only bounds task slots (see bench_scaling.Level for the rationale).
+    cmd = [sys.executable, "-c", CHILD, str(cpus), str(n_docs)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), str(n_docs)],
+        cmd,
         capture_output=True, text=True, env=env, timeout=1800,
     )
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
