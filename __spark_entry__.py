@@ -392,9 +392,12 @@ def q_embed_neardup(spark, sf_dir):
 
 
 def q_embed_neardup_lsh(spark, sf_dir):
-    """The scale path: multi-table sketch buckets; equi-join, no all-pairs."""
+    """The scale path: multi-table sketch buckets + one-sided 1-bit
+    multiprobe; equi-join, no all-pairs. Measured recall 1.0 vs the exact
+    pairs at sf0.01 (0.83 without multiprobe)."""
     return embedding_near_duplicates(
-        _load(spark, sf_dir, "embeddings"), threshold=0.4, n_tables=8
+        _load(spark, sf_dir, "embeddings"), threshold=0.4, n_tables=8,
+        multiprobe=True,
     )
 
 
@@ -752,7 +755,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_simhash": oracles.q_dedup_simhash(),
         "embed_neardup": oracles.q_embed_neardup(threshold=0.4),
-        "embed_neardup_lsh": oracles.q_embed_neardup_lsh(threshold=0.4, n_tables=8),
+        "embed_neardup_lsh": oracles.q_embed_neardup_lsh(
+            threshold=0.4, n_tables=8, multiprobe=True),
         "embed_cosine_topk": oracles.q_embed_topk(),
         "events_sessionize": oracles.q_sessionize(),
         "tpch_pricing": oracles.q_tpch_pricing(),

@@ -722,9 +722,11 @@ FROM bases LEFT JOIN hits USING (query_id)"""
 
 
 def q_embed_neardup_lsh(threshold: float = 0.4, n_planes: int = 4,
-                        n_tables: int = 8, seed: int = 42, dim: int = 64) -> str:
+                        n_tables: int = 8, seed: int = 42, dim: int = 64,
+                        multiprobe: bool = False) -> str:
     """Bucketed near-duplicate mirror: same multi-table sketch as the Spark
-    operator, candidate = same-bucket collision in any table."""
+    operator, candidate = same-bucket collision in any table; with
+    ``multiprobe`` the a-side additionally probes 1-bit-flip buckets."""
     from kgspark.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes * n_tables, seed)
@@ -740,12 +742,21 @@ def q_embed_neardup_lsh(threshold: float = 0.4, n_planes: int = 4,
         f"SELECT vec_id, v, {t} AS tbl, {bucket(t)} AS bucket FROM e"
         for t in range(n_tables)
     )
+    if multiprobe:
+        flips = "[" + ", ".join(str(f) for f in [0] + [1 << i for i in range(n_planes)]) + "]"
+        probe_cte = f""",
+  probes AS (
+    SELECT vec_id, tbl, xor(bucket, unnest({flips})) AS bucket FROM sk)"""
+        a_side = "probes"
+    else:
+        probe_cte = ""
+        a_side = "sk"
     return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
   sk AS (
-    {table_union}),
+    {table_union}){probe_cte},
   pairs AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM sk a JOIN sk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    FROM {a_side} a JOIN sk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, sim FROM (
   SELECT p.vec_a, p.vec_b,
     round(list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim

@@ -206,6 +206,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     dim: int = 64,
     exact: bool = False,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Pairs with cosine >= threshold.
 
@@ -214,6 +215,13 @@ def embedding_near_duplicates(
     scales like LSH dedup, never all-pairs. ``exact=True`` is the O(n²)
     baseline kept for recall measurement on small slices; at corpus scale
     only the bucketed path is runnable.
+
+    ``multiprobe=True`` additionally probes every 1-bit-flip of ONE side's
+    bucket (b extra probes per table on the probe side only — the other
+    side stays L rows/vector): a near pair whose sketches differ in
+    exactly one plane then still collides. One-sided probing suffices:
+    for any pair (x, y) with vid x < y, x is always the probe side, so
+    every hamming-<=1 table miss is recovered. Still an equi-join.
     """
     base = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
@@ -240,7 +248,16 @@ def embedding_near_duplicates(
                 )
             ).alias("tb"),
         ).select("vid", "vec", "tb.tbl", "tb.bucket")
-        a, b = sk.alias("a"), sk.alias("b")
+        probe = sk
+        if multiprobe:
+            flips = [0] + [1 << i for i in range(n_planes)]
+            probe = sk.withColumn(
+                "bucket",
+                F.explode(
+                    F.array(*[F.col("bucket").bitwiseXOR(F.lit(f)) for f in flips])
+                ),
+            )
+        a, b = probe.alias("a"), sk.alias("b")
         joined = a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))

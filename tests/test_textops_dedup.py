@@ -251,6 +251,15 @@ def test_embed_neardup_bucketed_recall_floor(spark):
     assert bucketed <= exact
     if exact:
         assert len(bucketed) / len(exact) >= 0.5
+    probed = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_duplicates(
+            emb, threshold=0.4, n_tables=8, multiprobe=True
+        ).collect()
+    }
+    assert bucketed <= probed <= exact
+    if exact:
+        assert len(probed) / len(exact) >= 0.8, "multiprobe recall below floor"
 
 
 def test_ann_multiprobe_recall_floor(spark):
