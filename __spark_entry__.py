@@ -352,6 +352,10 @@ def q_url_normalize(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    return textops.pack_sequences(_docs(spark, sf_dir), budget=2048, n_shards=8)
+
+
 def q_url_host_stats(spark, sf_dir):
     return (
         q_url_normalize(spark, sf_dir)
@@ -694,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "url_normalize": q_url_normalize,
         "url_host_stats": q_url_host_stats,
+        "pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram,
@@ -748,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": oracles.q_repetition_stats(),
         "url_normalize": oracles.q_url_normalize(),
         "url_host_stats": oracles.q_url_host_stats(),
+        "pack_sequences": oracles.q_pack_sequences(budget=2048, n_shards=8),
         "dedup_exact": oracles.q_dedup_exact(),
         "dedup_minhash_lsh": oracles.q_dedup_minhash(),
         "dedup_ngram_jaccard": oracles.q_dedup_minhash(

@@ -518,6 +518,20 @@ def q_url_normalize() -> str:
     return f"WITH {_URL_CTE},\n  {_URL_NORM}\nSELECT doc_id, url_norm, host FROM norm"
 
 
+def q_pack_sequences(budget: int = 2048, n_shards: int = 8) -> str:
+    """Window-cumsum mirror of textops.pack_sequences."""
+    return rf"""WITH t AS (SELECT doc_id, doc_id % {n_shards} AS shard,
+    len(string_split_regex(text, '\s+')) AS n_tokens FROM documents),
+  c AS (SELECT *,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t)
+SELECT doc_id, shard, n_tokens,
+  CAST(floor(start / {budget}) AS BIGINT) AS pack_id,
+  start % {budget} AS pack_offset
+FROM c"""
+
+
 def q_url_host_stats() -> str:
     return f"""WITH {_URL_CTE},
   {_URL_NORM}

@@ -161,6 +161,33 @@ def repetition_stats(col: Column) -> dict[str, Column]:
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing — assign documents to fixed-token-budget packs, the
+# standard LLM pre-training batching step. Deterministic spec: within a
+# shard (doc_id % n_shards), documents are laid out in doc_id order as one
+# contiguous token stream; a document's pack is the pack containing its
+# START offset (documents may straddle a boundary — real pipelines split
+# them at materialization; the assignment itself is what we compute).
+# One window cumsum per shard: shards ARE the parallelism, so the sort is
+# shard-local and the shuffle is a single hash exchange on shard.
+def pack_sequences(df, budget: int = 2048, n_shards: int = 8,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    from pyspark.sql import Window
+
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    base = df.select(F.col(id_col), shard,
+                     token_count(F.col(text_col)).alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens"))
+    return base.select(
+        id_col, "shard", "n_tokens",
+        F.floor(start / budget).alias("pack_id"),
+        (start % budget).alias("pack_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL normalization — canonical form for crawl-level dedup and per-host
 # aggregation (the input_hint table keys pages by url). Regex-only so the
 # DuckDB oracle is an exact mirror; no parse_url (DuckDB has none).

@@ -86,6 +86,27 @@ def test_url_normalize(spark, raw, norm, host):
 
 
 # ---------------------------------------------------------------------------
+# unit: pack_sequences
+def test_pack_sequences_layout(spark):
+    # one shard, budget 10; docs of 4/5/3/6 tokens -> starts 0,4,9,12
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([4, 5, 3, 6])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           textops.pack_sequences(df, budget=10, n_shards=1).collect()}
+    assert [(out[i].pack_id, out[i].pack_offset) for i in range(4)] == [
+        (0, 0), (0, 4), (0, 9), (1, 2)]
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    rows = [(i, "a b c") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.pack_sequences(df, budget=6, n_shards=4).collect()
+    # each shard holds docs i and i+4: starts 0 and 3 -> both pack 0
+    assert all(r.pack_id == 0 for r in out)
+    assert sorted(r.pack_offset for r in out) == [0, 0, 0, 0, 3, 3, 3, 3]
+
+
+# ---------------------------------------------------------------------------
 # oracle gate for the four new queries at sf0.001
 @pytest.fixture(scope="module")
 def duck():
@@ -97,7 +118,8 @@ def duck():
 
 
 @pytest.mark.parametrize(
-    "name", ["pii_scrub", "repetition_stats", "url_normalize", "url_host_stats"])
+    "name", ["pii_scrub", "repetition_stats", "url_normalize", "url_host_stats",
+             "pack_sequences"])
 def test_llmops_oracle_match(spark, duck, name):
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     sdf = qs[name](spark, SF)
