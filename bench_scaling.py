@@ -52,7 +52,7 @@ sys.path.insert(0, os.environ["KGSPARK_HOME"])
 
 from kgspark.session import get_spark
 from kgspark import synth
-from kgspark.pipeline import PipelineConfig, run_pipeline
+from kgspark.pipeline import PipelineConfig, release_pipeline_caches, run_pipeline
 from kgspark.canonicalize import close_redirects
 from kgspark.automaton import write_lexicon_artifact
 
@@ -68,10 +68,16 @@ write_lexicon_artifact(lex, artifact)
 cfg = PipelineConfig(redirects_preclosed=True, lexicon_artifact=artifact)
 
 def once():
+    # Each pass must recompute the FULL ingest->triples plan: the caches
+    # run_pipeline creates would otherwise be plan-matched by the next
+    # pass and turn the measurement into a cache read. The release runs
+    # OUTSIDE the timed window (cache bookkeeping is not pipeline work).
     t0 = time.time()
     out = run_pipeline(spark, corpus, lex, rd_closed, sa, cfg)
     out["triples"].write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    dt = time.time() - t0
+    release_pipeline_caches(out)
+    return dt
 
 # Adaptive warmup: one pass is not always enough — the wider level keeps
 # JIT-compiling / heap-sizing for 2-3 passes (measured: local[32] passes

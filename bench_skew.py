@@ -43,7 +43,7 @@ def main() -> None:
     from kgspark import synth
     from kgspark.automaton import write_lexicon_artifact
     from kgspark.canonicalize import close_redirects
-    from kgspark.pipeline import PipelineConfig, run_pipeline
+    from kgspark.pipeline import PipelineConfig, release_pipeline_caches, run_pipeline
     from kgspark.session import get_spark
 
     spark = get_spark(master=f"local[{cpus}]", app_name="kgspark-skew",
@@ -71,7 +71,9 @@ def main() -> None:
         t0 = time.time()
         out = run_pipeline(spark, corpus, lex, rd_closed, sa, cfg)
         out["triples"].write.format("noop").mode("overwrite").save()
-        return round(time.time() - t0, 3)
+        dt = round(time.time() - t0, 3)
+        release_pipeline_caches(out)  # next pass must recompute, not read cache
+        return dt
 
     # one warm pass per arm (JIT/worker spawn), then alternate measured passes
     warm = {"off": once(False), "on": once(True)}

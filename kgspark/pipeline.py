@@ -136,6 +136,14 @@ def run_pipeline(
         ),
     )
 
+    # cache=True: the overlap family's hit/miss split consumes `linked`
+    # twice, and Catalyst's per-branch column pruning specializes the two
+    # subtrees so ReuseExchange cannot dedupe them — without the cache the
+    # whole extract->segment->spot->link chain (both python UDF stages)
+    # executes TWICE per action (measured: overlap prefix cost 12.7s vs
+    # 5.4s link + 2.9s window family at 1k docs). Same rationale as the
+    # docs cache above; with a checkpoint_root the parquet materialization
+    # cuts the lineage instead.
     linked = runner.run(
         "link",
         lambda: disambig.link_mentions(
@@ -147,6 +155,7 @@ def run_pipeline(
             confidence=cfg.confidence,
             types=cfg.types,
         ),
+        cache=True,
     )
 
     def _resolve():
@@ -193,3 +202,18 @@ def run_pipeline(
         "triples": triple_df,
         "metrics": runner.metrics,
     }
+
+
+def release_pipeline_caches(out: dict) -> None:
+    """Unpersist the caches ``run_pipeline`` creates (documents, mentions).
+
+    Spark's CacheManager substitutes a cached InMemoryRelation for ANY
+    newly built plan that canonically matches it, so a benchmark that
+    calls ``run_pipeline`` repeatedly would silently serve passes 2+ from
+    the previous pass's cache and measure a cache read instead of the
+    pipeline. Harnesses call this between passes; a production job runs
+    one action per plan and simply lets the session end."""
+    for key in ("documents", "mentions"):
+        df = out.get(key)
+        if df is not None:
+            df.unpersist()

@@ -70,13 +70,17 @@ def main() -> int:
     checks.append(("top-1 is partial+final aggregate", n_partial_final >= 2, p))
     checks.append(("no Window operator in disambiguate", "Window" not in p, p))
 
-    # 4. overlap family: exactly one exchange for the doc-keyed windows
+    # 4. overlap family: the window stack (detect+categorize+resolve, ~15
+    # Window ops) must share ONE doc-keyed exchange per hit/miss branch —
+    # two branches total (Catalyst's per-branch column pruning makes the
+    # branches' exchanges non-identical, so ReuseExchange cannot merge
+    # them; run_pipeline caches the split input instead, see pipeline.py).
     p = plan_of(entrymod.q_resolve_overlap(spark, SF))
     sections.append(("overlaps detect+categorize+resolve", p))
     n_window_exchanges = len(re.findall(r"hashpartitioning\(doc_id#\d+L?, \d+\)", p))
     checks.append(
-        (f"overlap window family shares one doc-keyed exchange (found {n_window_exchanges})",
-         n_window_exchanges == 1, p),
+        (f"overlap window family: one doc-keyed exchange per split branch (found {n_window_exchanges} for 2 branches)",
+         n_window_exchanges <= 2, p),
     )
 
     # 5. canonicalization dims broadcast
@@ -90,6 +94,34 @@ def main() -> int:
     p = plan_of(entrymod.q_tpch_pricing(spark, SF))
     sections.append(("tpch_pricing", p))
     checks.append(("whole-stage codegen spans exist", "codegen id" in p, p))
+
+    # 7. PII scrub: narrow codegen pipeline — no exchange, no UDF
+    p = plan_of(entrymod.q_pii_scrub(spark, SF))
+    sections.append(("pii_scrub", p))
+    checks.append(("pii_scrub has no shuffle", "Exchange" not in p, p))
+    checks.append(("pii_scrub is UDF-free codegen", "BatchEvalPython" not in p
+                   and "ArrowEvalPython" not in p and "codegen id" in p, p))
+
+    # 8. sequence packing: exactly one hash exchange (on shard)
+    p = plan_of(entrymod.q_pack_sequences(spark, SF))
+    sections.append(("pack_sequences", p))
+    n_ex = len(re.findall(r"hashpartitioning\(shard#\d+L?, \d+\)", p))
+    checks.append(
+        (f"pack_sequences has one shard-keyed exchange (found {n_ex})",
+         n_ex == 1, p))
+
+    # 9. host rollup: partial+final hash aggregate (map-side combine)
+    p = plan_of(entrymod.q_url_host_stats(spark, SF))
+    sections.append(("url_host_stats", p))
+    checks.append(("url_host_stats is partial+final HashAggregate",
+                   p.count("HashAggregate") >= 2, p))
+
+    # 10. near-dup LSH multiprobe: equi-join only, never a cross product
+    p = plan_of(entrymod.q_embed_neardup_lsh(spark, SF))
+    sections.append(("embed_neardup_lsh (multiprobe)", p))
+    checks.append(("near-dup LSH is equi-join (no cartesian/BNLJ)",
+                   "CartesianProduct" not in p
+                   and "BroadcastNestedLoopJoin" not in p, p))
 
     ok = True
     lines = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
