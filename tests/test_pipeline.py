@@ -97,6 +97,29 @@ def test_lexicon_artifact_reused_not_rewritten(spark, tmp_path):
     } == mtimes
 
 
+def test_release_pipeline_caches_empties_cache_manager(spark):
+    """Benchmark contract: after release_pipeline_caches, no pipeline cache
+    survives to be plan-matched by a later pass (redirects pre-closed so no
+    closure cache is in play either)."""
+    from kgspark.pipeline import release_pipeline_caches
+    from kgspark.canonicalize import close_redirects
+
+    spark.catalog.clearCache()
+    docs = synth.golden_documents(spark)
+    rd_closed = close_redirects(synth.redirects_df(spark))
+    out = run_pipeline(
+        spark, docs, synth.golden_lexicon_df(spark), rd_closed,
+        synth.sameas_df(spark),
+        PipelineConfig(redirects_preclosed=True),
+    )
+    out["triples"].count()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty()  # docs + mentions caches are live mid-pass
+    release_pipeline_caches(out)
+    rd_closed.unpersist()  # close_redirects' fixpoint cache, caller-owned
+    assert cm.isEmpty()
+
+
 def test_triples_deterministic_across_runs(spark):
     docs = synth.synth_documents(spark, n_docs=20)
     lex = synth.lexicon_df(spark)
