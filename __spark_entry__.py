@@ -377,6 +377,15 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_near_duplicates(_docs(spark, sf_dir), k=16, bands=4, threshold=0.5)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Dedup GROUPS: connected components over the MinHash-verified pairs
+    (min-label propagation; the oracle recomputes via recursive CTE)."""
+    from kgspark.dedup import connected_components
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), k=16, bands=4, threshold=0.5)
+    return connected_components(pairs)
+
+
 def q_dedup_ngram(spark, sf_dir):
     return minhash_near_duplicates(
         _docs(spark, sf_dir), k=16, bands=4, threshold=0.8, char_mode=True, shingle_words=3
@@ -701,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_components": q_dedup_components,
         "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_simhash": q_dedup_simhash,
         "embed_neardup": q_embed_neardup,
@@ -756,6 +766,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oracles.q_pack_sequences(budget=2048, n_shards=8),
         "dedup_exact": oracles.q_dedup_exact(),
         "dedup_minhash_lsh": oracles.q_dedup_minhash(),
+        "dedup_components": oracles.q_dedup_components(),
         "dedup_ngram_jaccard": oracles.q_dedup_minhash(
             k=16, bands=4, threshold=0.8, char_mode=True, shingle_n=3
         ),

@@ -201,6 +201,64 @@ def minhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# Connected components over near-duplicate pairs: dedup GROUPS, not just
+# pairs — every document gets its component's minimum doc id as the
+# canonical group id, so "keep one per group" is a trivial filter.
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``.
+
+    Distributed min-label propagation to fixpoint: each round every node
+    takes the min of its own label and its neighbors' labels (one
+    edges-to-labels equi-join + a min groupBy). Rounds needed = component
+    diameter — near-dup clusters are near-cliques, so this converges in
+    2-4 rounds in practice; ``max_iter`` bounds adversarial chains. Like
+    ``canonicalize.close_redirects`` this is an offline dim build with
+    per-round persist and a driver-side convergence probe (one count per
+    round), not a per-query path; singleton documents never enter the
+    edge list and are their own groups by definition."""
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("x"), F.col(b_col).cast("long").alias("y")
+    )
+    edges = edges.union(
+        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).distinct().persist()
+
+    labels = (
+        edges.groupBy("x")
+        .agg(F.min("y").alias("nb"))
+        .select(F.col("x").alias("node"),
+                F.least(F.col("x"), F.col("nb")).alias("component"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels, edges["y"] == labels["node"]
+        ).select(edges["x"].alias("node"), "component")
+        new_labels = (
+            labels.select("node", "component").union(msgs)
+            .groupBy("node").agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), "node"
+            ).filter(F.col("component") != F.col("old")).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16

@@ -609,6 +609,36 @@ WHERE jaccard >= {threshold}"""
     )
 
 
+def q_dedup_components(k: int = 16, bands: int = 4, threshold: float = 0.5,
+                       char_mode: bool = False, shingle_n: int = 3) -> str:
+    """Connected components over the MinHash-verified pairs: min reachable
+    node id == component minimum (undirected reachability via a recursive
+    CTE — the oracle twin of the distributed min-label propagation)."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_sql(k, char_mode, shingle_n)
+        + ",\n  "
+        + _band_sql(bands, k // bands)
+        + f""",
+  verified AS (
+    SELECT doc_a, doc_b FROM (
+      SELECT p.doc_a, p.doc_b,
+        round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+      FROM cand_pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id)
+    WHERE jaccard >= {threshold}),
+  e AS (
+    SELECT doc_a AS x, doc_b AS y FROM verified
+    UNION
+    SELECT doc_b AS x, doc_a AS y FROM verified),
+  reach(v, l) AS (
+    SELECT x, x FROM (SELECT DISTINCT x FROM e)
+    UNION
+    SELECT e.x, r.l FROM e JOIN reach r ON e.y = r.v)
+SELECT v AS node, min(l) AS component FROM reach GROUP BY v"""
+    )
+
+
 def q_dedup_simhash(bits: int = 16, max_hamming: int = 2, n_bands: int | None = None) -> str:
     from kgspark.dedup import simhash_bands
 

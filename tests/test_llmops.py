@@ -86,6 +86,30 @@ def test_url_normalize(spark, raw, norm, host):
 
 
 # ---------------------------------------------------------------------------
+# unit: connected components (dedup groups)
+def test_connected_components_chain_and_islands(spark):
+    from kgspark.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair {10,11},
+    # and the pair (20,21) disjoint from both
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_order_insensitive(spark):
+    from kgspark.dedup import connected_components
+
+    # same component regardless of pair orientation; min id wins
+    pairs = spark.createDataFrame([(9, 3), (3, 7)], "doc_a long, doc_b long")
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {3: 3, 7: 3, 9: 3}
+
+
+# ---------------------------------------------------------------------------
 # unit: pack_sequences
 def test_pack_sequences_layout(spark):
     # one shard, budget 10; docs of 4/5/3/6 tokens -> starts 0,4,9,12
