@@ -139,10 +139,13 @@ def main() -> None:
     for name in lo["stages"]:
         eff = (lo["stages"][name] / hi["stages"][name]) / (hi_c / lo_c)
         table.append((name, lo["stages"][name], hi["stages"][name], round(eff, 3)))
-    print(json.dumps({"levels": runs, "per_stage_efficiency": {
-        t[0]: t[3] for t in table}}))
+    result = {"levels": runs, "per_stage_efficiency": {t[0]: t[3] for t in table}}
+    print(json.dumps(result))
     for t in table:
         print(f"  {t[0]:<22} local[{lo_c}] {t[1]:>8.2f}s  local[{hi_c}] {t[2]:>8.2f}s  eff {t[3]}")
+    os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
+    with open(os.path.join(HERE, "BENCH", "STAGES.json"), "w") as fh:
+        fh.write(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":
