@@ -86,6 +86,41 @@ def test_url_normalize(spark, raw, norm, host):
 
 
 # ---------------------------------------------------------------------------
+# invariants over the sf0.001 corpus (batch-checked in one Spark pass)
+def test_pii_scrub_idempotent(spark):
+    d = entrymod._pii_docs(spark, SF)
+    once = textops.pii_scrub(F.col("text"))
+    bad = d.select(once.alias("a"), textops.pii_scrub(once).alias("b")) \
+           .filter(F.col("a") != F.col("b")).count()
+    assert bad == 0
+
+
+def test_url_normalize_idempotent(spark):
+    d = entrymod._url_docs(spark, SF)
+    n1 = textops.url_normalize(F.col("url"))
+    d2 = d.select(n1.alias("u1"))
+    bad = d2.select("u1", textops.url_normalize(F.col("u1")).alias("u2")) \
+            .filter(F.col("u1") != F.col("u2")).count()
+    assert bad == 0
+
+
+def test_repetition_stats_bounded(spark):
+    d = _docs_table(spark)
+    stats = textops.repetition_stats(F.col("text"))
+    out = d.select(*[c.alias(k) for k, c in stats.items()])
+    bad = out.filter(
+        (F.col("dup_line_frac") < 0) | (F.col("dup_line_frac") > 1)
+        | (F.col("dup_word_frac") < 0) | (F.col("dup_word_frac") > 1)
+        | (F.col("symbol_word_ratio") < 0) | (F.col("mean_word_len") < 0)
+    ).count()
+    assert bad == 0
+
+
+def _docs_table(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
 # unit: connected components (dedup groups)
 def test_connected_components_chain_and_islands(spark):
     from kgspark.dedup import connected_components
