@@ -377,6 +377,17 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_near_duplicates(_docs(spark, sf_dir), k=16, bands=4, threshold=0.5)
 
 
+def q_contamination(spark, sf_dir):
+    """Decontamination: corpus docs sharing any 5-gram with the benchmark
+    slice (doc_id < 20 stands in for a broadcast eval suite)."""
+    from kgspark.dedup import contamination
+
+    d = _docs(spark, sf_dir)
+    return contamination(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20), n=5
+    )
+
+
 def q_dedup_components(spark, sf_dir):
     """Dedup GROUPS: connected components over the MinHash-verified pairs
     (min-label propagation; the oracle recomputes via recursive CTE)."""
@@ -711,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_components": q_dedup_components,
+        "contamination": q_contamination,
         "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_simhash": q_dedup_simhash,
         "embed_neardup": q_embed_neardup,
@@ -767,6 +779,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.q_dedup_exact(),
         "dedup_minhash_lsh": oracles.q_dedup_minhash(),
         "dedup_components": oracles.q_dedup_components(),
+        "contamination": oracles.q_contamination(n=5, bench_max_id=20),
         "dedup_ngram_jaccard": oracles.q_dedup_minhash(
             k=16, bands=4, threshold=0.8, char_mode=True, shingle_n=3
         ),

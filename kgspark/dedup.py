@@ -201,6 +201,46 @@ def minhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination: which corpus documents contain any n-gram of a
+# (small) evaluation/benchmark set — the standard pre-training hygiene step
+# that keeps test data out of training corpora.
+def contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits, hit_frac) for documents sharing >=1 word n-gram
+    with the benchmark set.
+
+    The benchmark side is tiny by construction (eval suites are KBs-MBs),
+    so its distinct n-gram set is BROADCAST and the corpus side is one
+    narrow explode + hash join + partial-agg count — no corpus self-join.
+    Shingles are compared as strings (exact, oracle-mirrorable); at 10^12
+    docs you would hash them first (dedup.minhash_docs has the md5-hash
+    kernel) — same plan shape, 8-byte keys."""
+    base = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_shingles", F.size("sh"))
+    doc_sh = base.select(id_col, "n_shingles", F.explode("sh").alias("shingle"))
+    bench_sh = benchmark.select(
+        F.explode(word_shingles(F.col(bench_text_col), n)).alias("shingle")
+    ).distinct()
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            id_col,
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("hit_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Connected components over near-duplicate pairs: dedup GROUPS, not just
 # pairs — every document gets its component's minimum doc id as the
 # canonical group id, so "keep one per group" is a trivial filter.

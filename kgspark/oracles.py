@@ -639,6 +639,21 @@ SELECT v AS node, min(l) AS component FROM reach GROUP BY v"""
     )
 
 
+def q_contamination(n: int = 5, bench_max_id: int = 20) -> str:
+    """Word-n-gram overlap vs the benchmark slice (doc_id < bench_max_id),
+    mirroring dedup.contamination over the same deterministic split."""
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return rf"""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+  sh AS (SELECT doc_id, list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - {n - 1}, 0)), i -> {parts})) AS shingles FROM t),
+  bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < {bench_max_id}),
+  docsh AS (SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s
+            FROM sh WHERE doc_id >= {bench_max_id})
+SELECT doc_id, count(*) AS n_hits,
+  round(count(*) / any_value(n_shingles), 6) AS hit_frac
+FROM docsh JOIN bench USING (s) GROUP BY doc_id"""
+
+
 def q_dedup_simhash(bits: int = 16, max_hamming: int = 2, n_bands: int | None = None) -> str:
     from kgspark.dedup import simhash_bands
 

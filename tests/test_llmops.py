@@ -145,6 +145,31 @@ def test_connected_components_order_insensitive(spark):
 
 
 # ---------------------------------------------------------------------------
+# unit: contamination
+def test_contamination_finds_planted_ngram(spark):
+    from kgspark.dedup import contamination
+
+    bench = spark.createDataFrame(
+        [(0, "the secret eval answer is forty two ok")], "doc_id long, text string")
+    corpus = spark.createDataFrame([
+        (100, "prefix words then the secret eval answer is forty two ok suffix"),
+        (101, "totally unrelated clean document with no overlap at all here"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in contamination(corpus, bench, n=5).collect()}
+    assert set(out) == {100}
+    assert out[100].n_hits == 4  # four 5-gram windows of the planted 8-gram
+    assert 0 < out[100].hit_frac <= 1
+
+
+def test_contamination_clean_corpus_is_empty(spark):
+    from kgspark.dedup import contamination
+
+    bench = spark.createDataFrame([(0, "aa bb cc dd ee ff")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, "gg hh ii jj kk ll")], "doc_id long, text string")
+    assert contamination(corpus, bench, n=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
 # unit: pack_sequences
 def test_pack_sequences_layout(spark):
     # one shard, budget 10; docs of 4/5/3/6 tokens -> starts 0,4,9,12
