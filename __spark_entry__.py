@@ -352,6 +352,10 @@ def q_url_normalize(spark, sf_dir):
     )
 
 
+def q_vocabulary_stats(spark, sf_dir):
+    return textops.vocabulary_stats(_docs(spark, sf_dir), k=100)
+
+
 def q_pack_sequences(spark, sf_dir):
     return textops.pack_sequences(_docs(spark, sf_dir), budget=2048, n_shards=8)
 
@@ -719,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "url_host_stats": q_url_host_stats,
         "pack_sequences": q_pack_sequences,
+        "vocabulary_stats": q_vocabulary_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_components": q_dedup_components,
@@ -776,6 +781,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": oracles.q_url_normalize(),
         "url_host_stats": oracles.q_url_host_stats(),
         "pack_sequences": oracles.q_pack_sequences(budget=2048, n_shards=8),
+        "vocabulary_stats": oracles.q_vocabulary_stats(k=100),
         "dedup_exact": oracles.q_dedup_exact(),
         "dedup_minhash_lsh": oracles.q_dedup_minhash(),
         "dedup_components": oracles.q_dedup_components(),

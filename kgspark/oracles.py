@@ -518,6 +518,15 @@ def q_url_normalize() -> str:
     return f"WITH {_URL_CTE},\n  {_URL_NORM}\nSELECT doc_id, url_norm, host FROM norm"
 
 
+def q_vocabulary_stats(k: int = 100) -> str:
+    return rf"""WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> length(t) > 0)) AS word
+  FROM documents)
+SELECT word, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM w GROUP BY word ORDER BY n_occurrences DESC, word LIMIT {k}"""
+
+
 def q_pack_sequences(budget: int = 2048, n_shards: int = 8) -> str:
     """Window-cumsum mirror of textops.pack_sequences."""
     return rf"""WITH t AS (SELECT doc_id, doc_id % {n_shards} AS shard,

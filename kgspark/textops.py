@@ -161,6 +161,26 @@ def repetition_stats(col: Column) -> dict[str, Column]:
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary statistics — corpus-level term and document frequencies with a
+# deterministic top-k (count desc, word asc): the tokenizer-training /
+# corpus-profiling primitive. Partial+final hash aggregate, then one tiny
+# top-k sort on the aggregated (vocab-sized) side.
+def vocabulary_stats(df, text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 100):
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_nonempty(tokens(F.lower(F.col(text_col))))).alias("word"),
+    )
+    return (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.count_distinct(id_col).alias("n_docs"))
+        .orderBy(F.desc("n_occurrences"), F.asc("word"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing — assign documents to fixed-token-budget packs, the
 # standard LLM pre-training batching step. Deterministic spec: within a
 # shard (doc_id % n_shards), documents are laid out in doc_id order as one
