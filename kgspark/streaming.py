@@ -156,6 +156,54 @@ def streaming_sessionize(
     )
 
 
+DEDUP_OUT_SCHEMA = "url string, fingerprint string"
+DEDUP_STATE_SCHEMA = "seen long"
+
+
+def streaming_dedup(docs_stream: DataFrame, id_col: str = "url",
+                    text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST document per content
+    fingerprint, across micro-batches.
+
+    Keyed by the same md5 fingerprint as the batch ``dedup_exact``
+    operator; the state store remembers fingerprints already emitted
+    (checkpoint-durable), so an incremental crawl drops re-crawled and
+    mirrored bodies as they arrive instead of in a nightly batch job.
+    Within a batch the deterministic winner is the minimum id. State is
+    one long per distinct fingerprint — at 10^12 docs you would shard the
+    state store or front it with a bloom filter; the operator shape
+    (groupBy fingerprint -> applyInPandasWithState) is unchanged.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        fp = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        n = len(rows)
+        if state.exists:
+            (seen,) = state.get
+            state.update((seen + n,))
+            return
+        state.update((n,))
+        yield pd.DataFrame([(rows[id_col].min(), fp)],
+                           columns=["url", "fingerprint"])
+
+    from kgspark.textops import fingerprint
+
+    keyed = docs_stream.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_doc_counts(spark, docs_path: str, window: str = "1 hour") -> DataFrame:
     """readStream over a parquet documents directory -> watermarked windowed
     counts per lang. Returned unstarted (caller picks sink/trigger)."""

@@ -138,3 +138,46 @@ def test_streaming_sessionize_idle_timeout_flush(spark, tmp_path):
     assert rows["7-1"]["n_events"] == 2 and rows["7-1"]["total_value"] == 3.0
     # user 8's own session stays open (no watermark past ITS last + gap)
     assert all(not k.startswith("8-") for k in rows)
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """streaming_dedup emits each content fingerprint once — duplicates are
+    dropped within a batch AND across micro-batches (state survives via
+    the checkpoint)."""
+    import pandas as pd
+
+    docs_dir = str(tmp_path / "docs")
+    ck_dir = str(tmp_path / "dck")
+    out_dir = str(tmp_path / "deduped")
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(rows, columns=["url", "text"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    def run_once():
+        from kgspark.streaming import streaming_dedup
+
+        stream = spark.readStream.schema("url string, text string").parquet(docs_dir)
+        q = (
+            streaming_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        return sorted(r["url"] for r in spark.read.parquet(out_dir).collect())
+
+    # batch 1: two distinct bodies + an in-batch duplicate (min url wins)
+    write_batch([("u1", "alpha beta gamma"), ("u2", "delta epsilon"),
+                 ("u0", "alpha  beta gamma")])  # ws-normalized dup of u1
+    assert run_once() == ["u0", "u2"]
+
+    # batch 2: a cross-batch duplicate (dropped) + one new body
+    write_batch([("u3", "ALPHA beta gamma"), ("u4", "fresh content here")])
+    assert run_once() == ["u0", "u2", "u4"]
