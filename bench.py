@@ -101,6 +101,7 @@ def main() -> None:
         "pii_scrub",
         "repetition_stats",
         "url_host_stats",
+        "vocabulary_stats",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
