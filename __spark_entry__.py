@@ -344,6 +344,27 @@ def _url_docs(spark, sf_dir):
         "doc_id", F.concat(scheme, host, path, query, frag).alias("url"))
 
 
+def q_corpus_filter(spark, sf_dir):
+    """The composed training-data gate: language -> quality -> repetition,
+    first failing rule is the reason (C4/Gopher-style). One narrow pass,
+    all signals computed in a single projection."""
+    d = _docs(spark, sf_dir)
+    stats = textops.repetition_stats(
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n")))
+    lang = textops.lang_id(F.col("text"))
+    qual = textops.quality_score(F.col("text"))
+    # 'und' passes: marker-absence is not evidence of a foreign language
+    # (and the sf corpora's synthetic vocabulary carries no markers)
+    reason = (
+        F.when(~lang.isin("en", "und"), F.lit("lang"))
+        .when(qual < 0.5, F.lit("quality"))
+        .when(~stats["gopher_keep"], F.lit("repetition"))
+        .otherwise(F.lit("ok"))
+    )
+    return d.select("doc_id", (reason == "ok").alias("keep"),
+                    reason.alias("reason"))
+
+
 def q_url_normalize(spark, sf_dir):
     return _url_docs(spark, sf_dir).select(
         "doc_id",
@@ -720,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
+        "corpus_filter": q_corpus_filter,
         "url_normalize": q_url_normalize,
         "url_host_stats": q_url_host_stats,
         "pack_sequences": q_pack_sequences,
@@ -778,6 +800,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": oracles.q_fingerprint(),
         "pii_scrub": oracles.q_pii_scrub(),
         "repetition_stats": oracles.q_repetition_stats(),
+        "corpus_filter": oracles.q_corpus_filter(quality_floor=0.5),
         "url_normalize": oracles.q_url_normalize(),
         "url_host_stats": oracles.q_url_host_stats(),
         "pack_sequences": oracles.q_pack_sequences(budget=2048, n_shards=8),

@@ -541,6 +541,25 @@ SELECT doc_id, shard, n_tokens,
 FROM c"""
 
 
+def q_corpus_filter(quality_floor: float = 0.5) -> str:
+    """Composed C4/Gopher-style keep decision: language -> quality ->
+    repetition, first failing rule wins (mirrors __spark_entry__.
+    q_corpus_filter); built by nesting the three already-mirrored
+    component queries as derived tables."""
+    return f"""SELECT l.doc_id,
+  (CASE WHEN l.lang_pred NOT IN ('en', 'und') THEN 'lang'
+        WHEN q.quality < {quality_floor} THEN 'quality'
+        WHEN NOT r.gopher_keep THEN 'repetition'
+        ELSE 'ok' END) = 'ok' AS keep,
+  CASE WHEN l.lang_pred NOT IN ('en', 'und') THEN 'lang'
+       WHEN q.quality < {quality_floor} THEN 'quality'
+       WHEN NOT r.gopher_keep THEN 'repetition'
+       ELSE 'ok' END AS reason
+FROM ({q_lang_id()}) l
+JOIN ({q_quality()}) q ON l.doc_id = q.doc_id
+JOIN ({q_repetition_stats()}) r ON l.doc_id = r.doc_id"""
+
+
 def q_url_host_stats() -> str:
     return f"""WITH {_URL_CTE},
   {_URL_NORM}
