@@ -84,12 +84,13 @@ def link():
 timed("link", link)
 linked = persisted(link())
 
-# stage 4: overlaps (doc-partitioned window family)
+# stage 4: overlaps (doc-partitioned window family) — via overlap_pipeline,
+# the production composition (ONE hit/miss split; the naive
+# detect->categorize->resolve chain re-filters and re-computes its
+# upstream branches and measures ~3x the real cost)
 def ovl():
-    detected = overlaps.detect_overlap(linked, doc_col="doc_id")
-    categorized = overlaps.categorize_overlap(detected, doc_col="doc_id")
-    return overlaps.resolve_overlap(
-        categorized, keep=["longest", "shortest", "multiple"], doc_col="doc_id"
+    return overlaps.overlap_pipeline(
+        linked, keep=["longest", "shortest", "multiple"], doc_col="doc_id"
     ).drop(*list(overlaps.OVL_FLAGS))
 timed("overlaps", ovl)
 resolved = persisted(ovl())
