@@ -102,6 +102,9 @@ def main() -> None:
         "repetition_stats",
         "url_host_stats",
         "vocabulary_stats",
+        "corpus_filter",
+        "contamination",
+        "dedup_components",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
