@@ -11,15 +11,24 @@ functions, so the oracle can recompute signatures bit-identically):
 - n-gram:   character-3-gram MinHash + exact Jaccard.
 
 Scale notes: signatures are computed narrowly with ``array_min(transform())``
-(no explode, no shuffle); candidate generation shuffles on (band_id,
-band_key) whose cardinality ~ n_docs * n_bands with tiny groups; only
-verified candidate pairs ever materialize. Head buckets (boilerplate pages
-all hashing equal) are bounded by the per-bucket pair cap AQE skew-join.
+(no explode, no shuffle); candidate generation shuffles id-only (doc_id,
+band_id, band_key) rows whose cardinality ~ n_docs * n_bands; only verified
+candidate pairs ever materialize, and shingle arrays are re-attached to
+pairs by doc-id join, never shipped through the band exchange. Head buckets
+(boilerplate pages all hashing equal band keys) are dropped above the
+per-bucket cap (``max_bucket_size``, mirrored in the DuckDB oracle;
+``lsh_bucket_stats`` exposes the dropped count for lineage) — AQE skew-join
+splits a skewed partition but cannot reduce a B-doc bucket's B^2 pairs, so
+the cap is the real bound.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
+
+log = logging.getLogger(__name__)
 
 from kgspark.textops import fingerprint, tokens
 
@@ -130,13 +139,13 @@ def minhash_docs(
     )
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
-) -> DataFrame:
-    """Banded LSH: docs agreeing on all rows of any band become a pair."""
-    banded = sigs.select(
+DEFAULT_MAX_BUCKET = 1000
+
+
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band_id, band_key) — id-only rows, no shingle payload."""
+    return sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -154,9 +163,62 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def lsh_bucket_stats(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(band_id, band_key, bucket_n, dropped) — the cap's audit trail.
+
+    ``dropped`` marks head buckets above ``max_bucket_size``; jobs count
+    them (a cheap action on the already-aggregated frame) and record the
+    number in the lineage manifest so capped recall is never silent."""
+    counts = _banded(sigs, bands, rows_per_band).groupBy(
+        "band_id", "band_key"
+    ).agg(F.count(F.lit(1)).alias("bucket_n"))
+    return counts.withColumn("dropped", F.col("bucket_n") > max_bucket_size)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of any band become a pair.
+
+    Two scale guards, both load-bearing on a boilerplate-heavy crawl:
+
+    - **Per-bucket pair cap**: a bucket of B docs yields B^2/2 candidate
+      pairs; boilerplate pages (error pages, templates) hash to identical
+      band keys, so at 10^12 docs the head bucket is the expected case,
+      not the edge. Buckets above ``max_bucket_size`` are dropped entirely
+      (standard MinHash practice; near-identical boilerplate is better
+      handled by exact dedup upstream, which has no quadratic step).
+      Size-1 buckets are dropped too — no pair can come from them. The cap
+      is mirrored in the DuckDB oracle (oracles._band_sql) so results stay
+      bit-identical at every scale. ``lsh_bucket_stats`` surfaces the
+      dropped-bucket count for lineage.
+    - **Id-only shuffle**: the band self-join carries (doc_id, band_id,
+      band_key) rows — never the shingle arrays. Shingles are re-attached
+      to the (few) surviving candidate pairs from the persisted signature
+      frame, so the wide payload rides a join keyed on 8-byte doc ids with
+      pair-count cardinality, not the bands×docs exchange.
+    """
+    banded = _banded(sigs, bands, rows_per_band)
+    keep = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter((F.col("bucket_n") >= 2) & (F.col("bucket_n") <= max_bucket_size))
+        .select("band_id", "band_key")
+    )
+    slim = banded.join(keep, ["band_id", "band_key"])
+    a, b = slim.alias("a"), slim.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -166,10 +228,20 @@ def lsh_candidate_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = sigs.select("doc_id", "shingles")
+    return (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
     )
 
 
@@ -193,10 +265,13 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     char_mode: bool = False,
     shingle_words: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join -> verify (the full path)."""
     sigs = minhash_docs(df, id_col, text_col, k=k, shingle_words=shingle_words, char_mode=char_mode)
-    pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=k // bands)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=k // bands, max_bucket_size=max_bucket_size
+    )
     return jaccard_verified_pairs(pairs, threshold=threshold)
 
 
@@ -276,6 +351,7 @@ def connected_components(
         .persist()
     )
     labels.count()
+    changed = -1
     for _ in range(max_iter):
         msgs = edges.join(
             labels, edges["y"] == labels["node"]
@@ -295,6 +371,16 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Component ids are NOT a fixpoint (chain diameter > max_iter) —
+        # consuming them as dedup groups would split components silently.
+        log.warning(
+            "connected_components: min-label propagation did not converge in "
+            "%d iterations (%d labels still changing); component ids are an "
+            "under-merge — raise max_iter.",
+            max_iter,
+            changed,
+        )
     return labels
 
 

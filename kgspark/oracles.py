@@ -536,8 +536,8 @@ def q_pack_sequences(budget: int = 2048, n_shards: int = 8) -> str:
                         ROWS UNBOUNDED PRECEDING) - n_tokens AS start
   FROM t)
 SELECT doc_id, shard, n_tokens,
-  CAST(floor(start / {budget}) AS BIGINT) AS pack_id,
-  start % {budget} AS pack_offset
+  CAST(start // {budget} AS BIGINT) AS pack_id,
+  CAST(start % {budget} AS BIGINT) AS pack_offset
 FROM c"""
 
 
@@ -603,7 +603,9 @@ def _minhash_sql(k: int, char_mode: bool, shingle_n: int) -> str:
   sig AS (SELECT doc_id, shingles, [{sigs}] AS sig FROM hsh)"""
 
 
-def _band_sql(bands: int, rows_per_band: int) -> str:
+def _band_sql(bands: int, rows_per_band: int, max_bucket_size: int = 1000) -> str:
+    # max_bucket_size mirrors dedup.lsh_candidate_pairs' head-bucket cap:
+    # band buckets larger than the cap produce no candidate pairs.
     unions = "\n    UNION ALL\n    ".join(
         "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig".format(
             b=b,
@@ -613,8 +615,11 @@ def _band_sql(bands: int, rows_per_band: int) -> str:
         )
         for b in range(bands)
     )
-    return f"""band AS (
+    return f"""band0 AS (
     {unions}),
+  band AS (
+    SELECT * FROM band0
+    QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {max_bucket_size}),
   cand_pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM band a JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
@@ -717,11 +722,14 @@ COS = (
 
 
 def q_embed_neardup(threshold: float = 0.4) -> str:
-    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    # normalize-then-dot mirrors similarity.embedding_near_duplicates:
+    # unit vectors once per vector, pair score = plain dot product.
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v FROM e)
 SELECT vec_a, vec_b, sim FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-    round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    round(list_dot_product(a.v, b.v), 6) AS sim
+  FROM u a JOIN u b ON a.vec_id < b.vec_id)
 WHERE sim >= {threshold}"""
 
 
@@ -839,6 +847,7 @@ def q_embed_neardup_lsh(threshold: float = 0.4, n_planes: int = 4,
         probe_cte = ""
         a_side = "sk"
     return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v FROM e),
   sk AS (
     {table_union}){probe_cte},
   pairs AS (
@@ -846,8 +855,8 @@ def q_embed_neardup_lsh(threshold: float = 0.4, n_planes: int = 4,
     FROM {a_side} a JOIN sk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, sim FROM (
   SELECT p.vec_a, p.vec_b,
-    round(list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
-  FROM pairs p JOIN e ea ON ea.vec_id = p.vec_a JOIN e eb ON eb.vec_id = p.vec_b)
+    round(list_dot_product(ea.v, eb.v), 6) AS sim
+  FROM pairs p JOIN u ea ON ea.vec_id = p.vec_a JOIN u eb ON eb.vec_id = p.vec_b)
 WHERE sim >= {threshold}"""
 
 

@@ -79,18 +79,30 @@ def segment_string(
         anchors.sort()
 
     out: list[tuple[int, str]] = []
+    prev_to = -1
     for i, a in enumerate(anchors):
         if i == 0:
             frm = 0
         else:
             lo = a - half
-            frm = next(j for j in range(n) if begin_esc[j] > lo)
+            frm = next((j for j in range(n) if begin_esc[j] > lo), n - 1)
+            # Coverage clamp: the window predicates can leave a gap between
+            # one window's last token (end_esc[j] < hi) and the next window's
+            # first (begin_esc[j] > lo) when token lengths approach the half
+            # window — a mention in the gap would silently never be spotted
+            # (Hypothesis counterexample pinned below the @given). Clamp so
+            # this segment starts no later than the previous segment's last
+            # token: >=1 token of overlap also covers the separator space,
+            # preserving the byte-for-byte reconstruction identity the
+            # reference's own test demands (tests/testthat/test-segment.R:6-36).
+            frm = min(frm, max(prev_to, 0), n - 1)
         if i == len(anchors) - 1:
             to = n - 1
         else:
             hi = a + half
             to = max((j for j in range(n) if end_esc[j] < hi), default=frm)
             to = max(to, frm)
+        prev_to = to
         out.append((begin[frm], " ".join(toks[frm : to + 1])))
     return out
 

@@ -15,7 +15,9 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -24,6 +26,30 @@ def _dot(a, b):
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _pair_dot_udf():
+    """Arrow-batched dot product for double unit vectors.
+
+    ``zip_with``/``aggregate`` are CodegenFallback — evaluated interpreted
+    at ~3 us/row, which dominates pair scoring once candidates reach
+    millions (and unrolling the dot into 64 element_at products blows the
+    codegen method limit, which is slower still). The numpy kernel
+    accumulates column-by-column (``acc += A[:,i]*B[:,i]``) — the exact
+    left-to-right IEEE addition sequence of the fold and of DuckDB's
+    list_dot_product, vectorized across the row batch — so the rounded
+    similarity, and therefore the oracle hash, is bit-identical.
+    """
+    @pandas_udf("double")
+    def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.stack(va.values)
+        B = np.stack(vb.values)
+        acc = np.zeros(len(va), dtype=np.float64)
+        for i in range(A.shape[1]):
+            acc += A[:, i] * B[:, i]
+        return pd.Series(acc)
+
+    return pair_dot
 
 
 def _norm(a):
@@ -222,18 +248,44 @@ def embedding_near_duplicates(
     exactly one plane then still collides. One-sided probing suffices:
     for any pair (x, y) with vid x < y, x is always the probe side, so
     every hamming-<=1 table miss is recovered. Still an equi-join.
+
+    The bucket join is **id-only**: candidate rows are (tbl, bucket,
+    vec_a, vec_b) triples of ints, never the embedding arrays — with L
+    tables and f probes the join emits O(L·f·collisions) rows, and
+    carrying two dim-length float arrays on each (≈1 KB at dim=64) made
+    the shuffle ~40x wider than the keys. Vectors are re-attached to the
+    deduped pair set (pair-count cardinality) by two joins on the 8-byte
+    vid, exactly like dedup.lsh_candidate_pairs.
+
+    Scoring is a dot product over UNIT vectors: normalization happens once
+    per vector (n rows) instead of twice per candidate pair (O(n²) rows at
+    this threshold — LSH prunes little at cosine 0.4), cutting the
+    interpreted per-pair array math to a third. The DuckDB oracle mirrors
+    the same normalize-then-dot formulation so rounding stays identical.
     """
-    base = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    raw = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    # unit vectors for pair scoring; the SKETCH stays on the raw vector so
+    # bucket values keep matching the oracle's raw-vector sign test exactly.
+    unit = raw.select(
+        "vid", "vec", _norm(F.col("vec")).alias("_nrm")
+    ).select(
+        "vid",
+        F.transform(F.col("vec"), lambda x: x.cast("double") / F.col("_nrm")).alias(
+            "uvec"
+        ),
     )
     if exact:
-        a, b = base.alias("a"), base.alias("b")
-        joined = a.join(b, F.col("a.vid") < F.col("b.vid"))
+        a, b = unit.alias("a"), unit.alias("b")
+        pairs = a.join(b, F.col("a.vid") < F.col("b.vid")).select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.uvec").alias("_va"),
+            F.col("b.uvec").alias("_vb"),
+        )
     else:
         planes = _hyperplanes(dim, n_planes * n_tables, seed)
-        sk = base.select(
+        sk = raw.select(
             "vid",
-            "vec",
             F.explode(
                 F.array(
                     *[
@@ -247,7 +299,7 @@ def embedding_near_duplicates(
                     ]
                 )
             ).alias("tb"),
-        ).select("vid", "vec", "tb.tbl", "tb.bucket")
+        ).select("vid", "tb.tbl", "tb.bucket")
         probe = sk
         if multiprobe:
             flips = [0] + [1 << i for i in range(n_planes)]
@@ -258,22 +310,25 @@ def embedding_near_duplicates(
                 ),
             )
         a, b = probe.alias("a"), sk.alias("b")
-        joined = a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") < F.col("b.vid")),
+        cand = (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vid") < F.col("b.vid")),
+            )
+            .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+            .dropDuplicates(["vec_a", "vec_b"])
         )
-    pairs = joined.select(
-        F.col("a.vid").alias("vec_a"),
-        F.col("b.vid").alias("vec_b"),
-        F.col("a.vec").alias("_va"),
-        F.col("b.vec").alias("_vb"),
-    )
-    if not exact:
-        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
+        pairs = cand.join(
+            unit.select(F.col("vid").alias("vec_a"), F.col("uvec").alias("_va")),
+            "vec_a",
+        ).join(
+            unit.select(F.col("vid").alias("vec_b"), F.col("uvec").alias("_vb")),
+            "vec_b",
+        )
     return (
-        pairs.withColumn("sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        pairs.withColumn("sim", F.round(_pair_dot_udf()(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )

@@ -156,7 +156,6 @@ def streaming_sessionize(
     )
 
 
-DEDUP_OUT_SCHEMA = "url string, fingerprint string"
 DEDUP_STATE_SCHEMA = "seen long"
 
 
@@ -188,7 +187,7 @@ def streaming_dedup(docs_stream: DataFrame, id_col: str = "url",
             return
         state.update((n,))
         yield pd.DataFrame([(rows[id_col].min(), fp)],
-                           columns=["url", "fingerprint"])
+                           columns=[id_col, "fingerprint"])
 
     from kgspark.textops import fingerprint
 
@@ -197,7 +196,9 @@ def streaming_dedup(docs_stream: DataFrame, id_col: str = "url",
     )
     return keyed.groupBy("fingerprint").applyInPandasWithState(
         fn,
-        outputStructType=DEDUP_OUT_SCHEMA,
+        # Output schema follows id_col so id_col="doc_id" emits doc ids
+        # under "doc_id", not a column misnamed "url".
+        outputStructType=f"{id_col} string, fingerprint string",
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -199,11 +199,16 @@ def pack_sequences(df, budget: int = 2048, n_shards: int = 8,
     w = (Window.partitionBy("shard").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens"))
+    # Pure integer arithmetic with explicit BIGINT on both outputs: the
+    # DuckDB oracle's SUM() OVER yields HUGEINT and a float-floor pack_id
+    # hashed differently under a strict driver normalizer (round-3 red cell).
+    start = (cum - F.col("n_tokens")).cast("long")
     return base.select(
+        id_col, "shard", "n_tokens", start.alias("start"),
+    ).select(
         id_col, "shard", "n_tokens",
-        F.floor(start / budget).alias("pack_id"),
-        (start % budget).alias("pack_offset"),
+        F.expr(f"start DIV {budget}").cast("long").alias("pack_id"),
+        (F.col("start") % budget).cast("long").alias("pack_offset"),
     )
 
 

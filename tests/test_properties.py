@@ -5,7 +5,7 @@ segmentation-invariance of the mention set — tests/testthat/test-segment.R);
 here they run over generated inputs instead of two fixtures.
 """
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from kgspark.automaton import build_automaton, find_word_bounded
 from kgspark.extract import extract_text_from_html
@@ -20,6 +20,199 @@ PATTERNS = ["ab", "abc", "cd", "ab cd", "f"]
 
 @settings(max_examples=40, deadline=None)
 @given(WORDS, st.integers(80, 400), st.integers(10, 60))
+@example(
+    words=['a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'd',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'aa',
+     'ac',
+     'a',
+     'ae',
+     'af',
+     'cc',
+     'a',
+     'db',
+     'dd',
+     'de',
+     'aa',
+     'aa',
+     'aa',
+     'cfb',
+     'daa',
+     'ede',
+     'efb',
+     'afab',
+     'bbab',
+     'daef',
+     'dbad',
+     'febf',
+     'ffaf',
+     'cafad',
+     'cbafa',
+     'ccada',
+     'dfbbc',
+     'ecdbe',
+     'ffddd',
+     'bbefbd',
+     'bdddfb',
+     'cdaebe',
+     'fcdcbf',
+     'fdeabb',
+     'acdaaba',
+     'afdcaec',
+     'bfacfbf',
+     'ccfcfef',
+     'dbffaba',
+     'aaadcbbc',
+     'aaccbcec',
+     'adbfaccc',
+     'aedecdcf',
+     'aefdccfe',
+     'aefeffff',
+     'afaccded',
+     'bcdcfeae',
+     'beaeeffc',
+     'bffecabc',
+     'cbaeeaaf',
+     'cbdfeeae',
+     'cddfccae',
+     'daaefccc',
+     'dafaaeef',
+     'dafcbbfc',
+     'ddbecfdc',
+     'eaadcbfc',
+     'eaaffacf',
+     'ebfecfde',
+     'eccfdbfa',
+     'effafbcf',
+     'faaecaec',
+     'faffbbbc',
+     'feadafde',
+     'febceecd',
+     'feddadef',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'a',
+     'bb',
+     'be',
+     'aa',
+     'aa',
+     'ca',
+     'ce',
+     'a',
+     'aa',
+     'aa',
+     'aad',
+     'aed',
+     'cbb',
+     'cea',
+     'dcd',
+     'fab',
+     'fcb',
+     'fcf',
+     'acda',
+     'bbba',
+     'caae',
+     'cfea',
+     'dcbe',
+     'eadc',
+     'ebaf',
+     'efda',
+     'fceb',
+     'fefb',
+     'bbbfb',
+     'deeaf',
+     'eceec',
+     'efdec',
+     'faace',
+     'fbafa',
+     'aadccd',
+     'accefe',
+     'caaeae',
+     'ccecdf',
+     'edabec',
+     'efcedd',
+     'faaefc',
+     'cdadaad',
+     'eaccabd',
+     'fbdeaba',
+     'fefebdc',
+     'abfeebfb',
+     'acdabded',
+     'adabbceb',
+     'bdaadedc',
+     'becfedae',
+     'bfcbaffa',
+     'cabaafab',
+     'cadecbdf',
+     'cbbdebca',
+     'ccddbdaa',
+     'cdadacad',
+     'cddcedef',
+     'daadfbef',
+     'daedcaca',
+     'dcdcbbbc',
+     'eaccdddd',
+     'ebebbaeb',
+     'ecbcadbb',
+     'aaaaaaaa',
+     'aaaaaaaa',
+     'aaaaaaaa',
+     'aaaaaaaa',
+     'aaaaaaaa',
+     'aaaaaaaa'],
+    max_len=80,
+    overlap=10,
+).via('discovered failure')
 def test_segment_reconstruction_property(words, max_len, overlap):
     if overlap >= max_len:
         overlap = max_len // 2

@@ -8,6 +8,8 @@ from kgspark import textops
 from kgspark.align import align_mentions, drop_inexact, token_table
 from kgspark.dedup import (
     exact_duplicates,
+    lsh_bucket_stats,
+    minhash_docs,
     minhash_near_duplicates,
     simhash,
     simhash_near_duplicates,
@@ -66,6 +68,28 @@ def test_minhash_finds_near_duplicates(spark):
     pairs = minhash_near_duplicates(df, k=16, bands=4, threshold=0.5).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
     assert pairs[0]["jaccard"] > 0.5
+
+
+def test_minhash_head_bucket_cap(spark):
+    """A degenerate boilerplate corpus (1k identical pages) must complete
+    with a BOUNDED pair count: every band bucket holds all 1000 docs, so an
+    uncapped join would emit ~500k pairs per band; the cap drops the head
+    buckets entirely and lsh_bucket_stats reports them for lineage."""
+    boiler = "error 404 page not found please try again later contact support"
+    rows = [(i, boiler) for i in range(1000)] + [
+        (2000, "completely different words in this one document indeed"),
+        (2001, "completely different words in this one document indeed yes"),
+    ]
+    df = docs(spark, rows)
+    pairs = minhash_near_duplicates(df, k=16, bands=4, threshold=0.5,
+                                    max_bucket_size=100).collect()
+    # the boilerplate head cluster is capped away; the small near-dup pair survives
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(2000, 2001)}
+    sigs = minhash_docs(df)
+    stats = lsh_bucket_stats(sigs, bands=4, rows_per_band=4, max_bucket_size=100)
+    dropped = stats.filter(F.col("dropped")).collect()
+    assert len(dropped) == 4  # one 1000-doc bucket per band
+    assert all(r["bucket_n"] == 1000 for r in dropped)
 
 
 def test_simhash_identical_and_near(spark):
