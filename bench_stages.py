@@ -27,8 +27,11 @@ from kgspark.canonicalize import canonicalize, close_redirects
 from kgspark.extract import extract_text
 
 cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+# shuffle partitions scale with the core count (4 tasks/core), as they
+# would on a real cluster — a fixed 64 hands the 2-core level 32 waves of
+# per-task overhead and charges the difference to "scaling".
 spark = get_spark(master=f"local[{cpus}]", app_name=f"kgspark-stages-{cpus}",
-                  shuffle_partitions=64)
+                  shuffle_partitions=4 * cpus)
 spark.sparkContext.setLogLevel("ERROR")
 
 def force(df):
@@ -80,7 +83,8 @@ spots = persisted(seg_spot())
 # stage 3: link (broadcast lexicon join + min_by top-1)
 def link():
     return disambig.link_mentions(spots, lex, docs, doc_col="url",
-                                  min_support=20, confidence=0.35)
+                                  min_support=20, confidence=0.35,
+                                  partition_by_doc=True)
 timed("link", link)
 linked = persisted(link())
 

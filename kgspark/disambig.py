@@ -99,6 +99,7 @@ def disambiguate(
     confidence: float = 0.35,
     types: list[str] | None = None,
     lexicon: DataFrame | None = None,
+    partition_by_doc: bool = False,
 ) -> DataFrame:
     """D4 + D5 + D6: context scoring, confidence filter, top-1 per mention.
 
@@ -106,6 +107,18 @@ def disambiguate(
     from the spot stage — preferred: mentions derive from documents through
     narrow ops, so attaching the tokens there avoids re-shuffling the
     documents side), the doc join is skipped entirely.
+
+    ``partition_by_doc=True`` replaces the implicit (doc_id, start, text)
+    aggregation exchange with an explicit hash repartition on doc_id alone
+    — HashPartitioning(doc_id) satisfies the clustered distribution of the
+    top-1 groupBy AND of every (doc_id[, ovl_id])-partitioned window in
+    the downstream overlap family, so link+overlaps run on ONE exchange
+    total instead of two. The repartition ships scored candidate rows
+    (~1.5x mentions, narrow — doc_tokens already dropped) instead of the
+    partial-agg rows, but removes a whole stage barrier and the second
+    shuffle of the linked table. Use it when overlaps follow (the
+    pipeline); leave False for the standalone query, where the
+    combine-friendly partial agg is the cheaper plan.
 
     Returns the annotation-table IR (R/dbpedia.R:447-453) with nested
     ``types`` map plus the per-KB pivots DBpedia_type / Wikidata_type
@@ -126,6 +139,8 @@ def disambiguate(
         )
         .drop("doc_tokens")
     )
+    if partition_by_doc:
+        scored = scored.repartition(F.col("doc_id"))
     # top-1 per mention as a hash aggregation, NOT a sort window: min_by over
     # the struct (-score, uri) picks max score with min-uri tiebreak, gets
     # map-side partial aggregation, and never materializes a per-mention
@@ -197,6 +212,7 @@ def link_mentions(
     min_support: int = 20,
     confidence: float = 0.35,
     types: list[str] | None = None,
+    partition_by_doc: bool = False,
 ) -> DataFrame:
     """spot output -> linked annotation table (the composed D2-D6 path)."""
     cands = generate_candidates(spots, lexicon, min_support=min_support)
@@ -206,5 +222,6 @@ def link_mentions(
         else doc_tokens(docs, doc_col=doc_col, text_col=text_col)
     )
     return disambiguate(
-        cands, toks, confidence=confidence, types=types, lexicon=lexicon
+        cands, toks, confidence=confidence, types=types, lexicon=lexicon,
+        partition_by_doc=partition_by_doc,
     )

@@ -11,8 +11,10 @@ documents(url, warc_ts, html, text, lang)
   -> canonicalize (broadcast redirect/sameAs dims)
   -> triples (distinct + partitioned write)
 
-Shuffle census of the whole plan: one shuffle for the doc-token context
-join, one doc-partitioned window family for overlaps, one distinct for the
+Shuffle census of the whole plan: ONE doc-keyed exchange shared by the
+top-1 link aggregation and the entire overlap window family
+(HashPartitioning(doc_id) satisfies both clustered distributions —
+disambig.disambiguate(partition_by_doc=True)), one distinct for the
 triple set, plus the final write repartition. Everything else is narrow.
 """
 
@@ -154,6 +156,9 @@ def run_pipeline(
             min_support=cfg.min_support,
             confidence=cfg.confidence,
             types=cfg.types,
+            # one doc-keyed exchange serves the top-1 agg AND the whole
+            # downstream overlap window family (see disambig.disambiguate)
+            partition_by_doc=True,
         ),
         cache=True,
     )

@@ -116,12 +116,66 @@ def main() -> int:
     checks.append(("url_host_stats is partial+final HashAggregate",
                    p.count("HashAggregate") >= 2, p))
 
-    # 10. near-dup LSH multiprobe: equi-join only, never a cross product
+    # 10. near-dup LSH multiprobe: equi-join only, never a cross product;
+    # candidate dedup shuffles id-only (vec_a, vec_b) rows, vectors are
+    # re-attached after dedup
     p = plan_of(entrymod.q_embed_neardup_lsh(spark, SF))
     sections.append(("embed_neardup_lsh (multiprobe)", p))
     checks.append(("near-dup LSH is equi-join (no cartesian/BNLJ)",
                    "CartesianProduct" not in p
                    and "BroadcastNestedLoopJoin" not in p, p))
+    neardup_exchanges = re.findall(r"hashpartitioning\(vec_a#\d+L?, vec_b#\d+L?, \d+\)", p)
+    checks.append(("near-dup candidate dedup exchanges on (vec_a, vec_b) ids only",
+                   len(neardup_exchanges) >= 1, p))
+
+    # 11. MinHash LSH dedup: the head-bucket cap is in the plan and the
+    # band self-join shuffles id-only rows (shingle arrays re-attached to
+    # surviving pairs by doc-id join)
+    p = plan_of(entrymod.q_dedup_minhash(spark, SF))
+    sections.append(("dedup_minhash_lsh (band join + cap)", p))
+    checks.append(("dedup band buckets capped (bucket_n filter present)",
+                   "bucket_n" in p, p))
+    band_exchange_schemas = re.findall(
+        r"Exchange hashpartitioning\(band_id[^\n]*\n[^\n]*", p)
+    checks.append(("band-join exchange carries no shingle payload",
+                   all("shingles" not in s for s in band_exchange_schemas), p))
+
+    # 12. pipeline link+overlaps: ONE doc-keyed exchange serves the top-1
+    # aggregation AND the whole overlap window family (per hit/miss branch;
+    # 2 uncached branches here — run_pipeline caches the split input).
+    from kgspark import disambig as _disambig, overlaps as _overlaps, segment as _segment
+    _docs_pl = docs.select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    ).limit(200)
+    _segs = _segment.segment_documents(_docs_pl).withColumn(
+        "doc_tokens", _disambig.hashed_tokens(F.col("text")))
+    _spots = entrymod._spot_from_segments(spark, _segs) if hasattr(
+        entrymod, "_spot_from_segments") else None
+    if _spots is None:
+        # spot via the broadcast-automaton path used by q_spot_mentions
+        from kgspark import synth as _synth
+        from kgspark.automaton import write_lexicon_artifact as _wla
+        import tempfile as _tf
+        _lex = _synth.lexicon_df(spark)
+        _art = _wla(_lex, _tf.mkdtemp(prefix="audit-lex-"))
+        from kgspark import spot as _spot
+        _spots = _segment.stitch_filter(
+            _spot.spot_segments(_segs, _art, doc_col="url",
+                                keep_extra=("keep_from", "keep_to", "doc_tokens")))
+    _linked = _disambig.link_mentions(
+        _spots, _lex, _docs_pl, doc_col="url", partition_by_doc=True)
+    _resolved = _overlaps.overlap_pipeline(
+        _linked, keep=["longest", "shortest", "multiple"], doc_col="doc_id"
+    ).drop(*list(_overlaps.OVL_FLAGS))
+    p = plan_of(_resolved)
+    sections.append(("pipeline link+overlaps (one doc-keyed exchange)", p))
+    n_doc_ex = len(re.findall(r"hashpartitioning\(doc_id#\d+[L]?, \d+\)", p))
+    checks.append(
+        (f"link+overlaps share one doc-keyed exchange per branch (found {n_doc_ex} for 2 branches)",
+         n_doc_ex <= 2, p))
+    checks.append(
+        ("no (doc_id, start, text) aggregation exchange remains",
+         not re.search(r"hashpartitioning\(doc_id#\d+L?, start#", p), p))
 
     ok = True
     lines = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
