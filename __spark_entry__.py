@@ -51,7 +51,9 @@ from kgspark.similarity import (
     cosine_topk,
     embedding_near_duplicates,
     hyperplane_lsh_topk,
+    ivf_topk,
     lsh_recall,
+    train_ivf_centroids,
 )
 from kgspark.sources import (
     enrich_tei,
@@ -671,6 +673,21 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN: deterministic driver-trained codebook
+    (numpy Lloyd over the first 4096 vec_ids), corpus bucketed by nearest
+    centroid, queries probe their nprobe nearest cells — the non-LSH
+    scale path. The oracle trains the identical codebook and embeds it
+    as literals."""
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=16, iters=10, seed=42)
+    # nprobe=4 of 16 cells: scans ~25% of the corpus for measured
+    # recall@5 = 0.68 on the (weakly clustered) synthetic embeddings —
+    # the operating point is data-dependent; nprobe=n_centroids degrades
+    # to exact brute force (pinned by test_ivf_full_probe_is_exact).
+    return ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], centroids=cents, k=5, nprobe=4)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal feature extraction over a documents-derived media table;
     the md5-digest signature projection makes the oracle compare exact."""
@@ -738,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikidata_props": q_wikidata_props,
         "triples": q_triples,
         "ann_lsh_recall": q_ann_recall,
+        "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "media_features_real": q_media_features_real,
         "video_frame_sample": q_video_frames,
@@ -766,12 +784,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "embed_cosine_topk": q_embed_topk,
         "events_sessionize": q_sessionize,
-        "token_decode": q_token_decode,
         "highlight_view": q_highlight,
         "lexicon_lookup": q_lexicon_lookup,
         "spotlight_json": q_spotlight_json,
         "tei_roundtrip": q_tei_roundtrip,
         "ann_lsh_bucketed": q_ann_lsh,
+        "token_decode": q_token_decode,
         "url_normalize": q_url_normalize,
         "tpch_pricing": q_tpch_pricing,
         "nation_revenue": q_nation_revenue,
@@ -838,4 +856,5 @@ def oracle_sql() -> dict[str, str]:
         "tei_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 50",
         "ann_lsh_bucketed": oracles.q_ann_lsh(n_tables=8, multiprobe=True),
         "ann_lsh_recall": oracles.q_ann_recall(n_tables=8, multiprobe=True),
+        "ann_ivf": oracles.q_ann_ivf(n_centroids=16, nprobe=4, iters=10),
     }

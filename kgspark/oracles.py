@@ -789,6 +789,69 @@ def q_ann_lsh(query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5,
     )
 
 
+def q_ann_ivf(query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5,
+              n_centroids: int = 16, nprobe: int = 2, iters: int = 10,
+              seed: int = 42, sample: int = 4096,
+              sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """IVF coarse-quantizer mirror of similarity.ivf_topk.
+
+    The codebook is trained HERE with the same numpy Lloyd core on the
+    same sample (first ``sample`` vec_ids of ``sf_dir``) as the Spark
+    query, then embedded as literal DOUBLE[] centroids — so the SQL is
+    self-contained and bit-matches whenever the Spark side runs on the
+    same sf (the driver gate's sf0.01 by default)."""
+    import duckdb as _dd
+    import numpy as _np
+
+    from kgspark.similarity import lloyd_kmeans
+
+    rows = _dd.connect().execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {sample}"
+    ).fetchall()
+    cents = lloyd_kmeans(
+        _np.array([r[0] for r in rows], dtype=_np.float64),
+        n_centroids=n_centroids, iters=iters, seed=seed,
+    )
+
+    def lit(c: list[float]) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
+
+    def d2(c: list[float], col: str = "v") -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({col}, " + lit(c)
+            + "), z -> (z[1] - z[2]) * (z[1] - z[2]))), 6)"
+        )
+
+    dist_arr = "[" + ",\n      ".join(d2(c) for c in cents) + "]"
+    q_branches = "\n    UNION ALL\n    ".join(
+        f"SELECT query_id, qvec, {j + 1} AS cell, {d2(c, 'qvec')} AS d FROM q0"
+        for j, c in enumerate(cents)
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    sim = ("round(list_dot_product(qvec, nvec) / "
+           "(sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(nvec, nvec))), 6)")
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  corpus AS (
+    SELECT vec_id AS neighbor_id, v AS nvec,
+      list_position(dists, list_min(dists)) AS cell
+    FROM (SELECT vec_id, v, {dist_arr} AS dists FROM e)),
+  q0 AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id IN ({ids})),
+  qd AS (
+    {q_branches}),
+  probes AS (
+    SELECT query_id, qvec, cell FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn
+      FROM qd) WHERE rn <= {nprobe}),
+  cand AS (
+    SELECT p.query_id, p.qvec, c.neighbor_id, c.nvec
+    FROM probes p JOIN corpus c ON c.cell = p.cell AND c.neighbor_id <> p.query_id),
+  sims AS (SELECT query_id, neighbor_id, {sim} AS sim FROM cand)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims) WHERE rank <= {k}"""
+
+
 def q_ann_recall(query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 5,
                  n_planes: int = 4, n_tables: int = 1, seed: int = 42, dim: int = 64,
                  multiprobe: bool = False) -> str:

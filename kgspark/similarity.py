@@ -8,6 +8,10 @@
   bucket (plus optional 1-bit-flip neighbors), turning the cross join into
   an equi-join. Recall < 1 by construction; the brute-force operator is the
   correctness baseline.
+- ``ivf_topk``: the coarse-quantizer scale path (IVF) — a deterministic
+  driver-trained k-means codebook partitions the corpus into cells; queries
+  probe only their ``nprobe`` nearest cells. Centroids are plain literals
+  shared verbatim with the DuckDB oracle.
 - ``embedding_near_duplicates``: corpus self-pairs above a cosine threshold
   via the same sketch buckets.
 """
@@ -173,6 +177,156 @@ def hyperplane_lsh_topk(
         & (F.col("bucket") == F.col("qbucket"))
         & (F.col("neighbor_id") != F.col("query_id")),
     ).dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic driver-side Lloyd k-means over a bounded sample.
+
+    The codebook is a DIM, not a fact: training touches at most ``sample``
+    vectors (taken in vec_id order, so reruns see the same rows — at
+    10^12 vectors you would persist the codebook like the lexicon
+    artifact and refresh it offline). kmeans++-style seeding from a fixed
+    RandomState; centroids rounded to 6 decimals so they embed as exact
+    literals in both the Spark plan and the DuckDB oracle SQL.
+    """
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return lloyd_kmeans(X, n_centroids=n_centroids, iters=iters, seed=seed)
+
+
+def lloyd_kmeans(
+    X: "np.ndarray", n_centroids: int = 16, iters: int = 10, seed: int = 42
+) -> list[list[float]]:
+    """numpy Lloyd core — shared by the Spark trainer and the DuckDB
+    oracle generator so both sides embed the identical codebook."""
+    rng = np.random.RandomState(seed)
+    cents = [X[rng.randint(len(X))]]
+    for _ in range(1, n_centroids):  # kmeans++ seeding
+        d2 = np.min([((X - c) ** 2).sum(axis=1) for c in cents], axis=0)
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(X[rng.choice(len(X), p=p)])
+    C = np.array(cents)
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return np.round(C, 6).tolist()
+
+
+def _cell_expr(vec_col, centroids: list[list[float]]):
+    """Nearest-centroid cell id: argmin of 6dp-rounded squared L2 distance,
+    first occurrence on ties — identical semantics to the oracle's
+    list_position(l, list_min(l))."""
+    dists = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            )
+            for c in centroids
+        ]
+    )
+    return F.array_position(dists, F.array_min(dists)).cast("int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell; each query scores only the vectors of its ``nprobe`` nearest
+    cells. The probe is an equi-join on the cell id — the standard inverted
+    -file coarse quantizer (the non-LSH scale path the reference-class
+    pipelines use), with recall measured against ``cosine_topk``.
+
+    Scale shape: cell assignment is one narrow expression per corpus row
+    (C distance folds, C = codebook size); the query side is tiny and
+    broadcast; no cross join anywhere. At 10^12 vectors the cell id
+    doubles as the partition/bucket key for the materialized index table.
+    """
+    n_centroids = len(centroids)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        _cell_expr(F.col(vec_col), centroids).alias("cell"),
+    )
+    # query side: all C distances, take the nprobe smallest (ties on cell id)
+    qdists = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qvec"),
+                            F.array(*[F.lit(float(v)) for v in c]),
+                            lambda x, y: (x.cast("double") - y)
+                            * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ),
+                    6,
+                ).alias("d"),
+                F.lit(j + 1).alias("cell"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    q = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.slice(F.array_sort(qdists), 1, nprobe).alias("probes"),
+        )
+        .select(
+            "query_id",
+            "qvec",
+            F.explode(F.transform(F.col("probes"), lambda p: p["cell"])).alias("cell"),
+        )
+    )
+    c_al, q_al = corpus.alias("c"), q.alias("q")
+    cand = c_al.join(
+        F.broadcast(q_al),
+        (F.col("c.cell") == F.col("q.cell"))
+        & (F.col("c.neighbor_id") != F.col("q.query_id")),
+    ).select("q.query_id", "q.qvec", "c.neighbor_id", "c.nvec")
     scored = cand.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

@@ -92,6 +92,39 @@ def test_minhash_head_bucket_cap(spark):
     assert all(r["bucket_n"] == 1000 for r in dropped)
 
 
+def test_ivf_topk_recall_floor(spark):
+    """IVF coarse quantizer: recall@5 vs brute-force cosine over the sf0.001
+    embeddings must clear the measured floor (0.8 at C=8, nprobe=3 on this
+    weakly-clustered synthetic data), and the codebook must be
+    deterministic (same seed -> same centroids -> same result)."""
+    from kgspark.similarity import cosine_topk, ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8, iters=5, seed=42)
+    assert cents == train_ivf_centroids(emb, n_centroids=8, iters=5, seed=42)
+    qids = [0, 1, 2, 3, 4]
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, qids, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(emb, qids, cents, k=5, nprobe=3).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.75, recall
+
+
+def test_ivf_full_probe_is_exact(spark):
+    """nprobe == n_centroids degrades IVF to exact brute force — the
+    candidates cover the whole corpus, so the top-k must equal
+    cosine_topk row for row."""
+    from kgspark.similarity import cosine_topk, ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8, iters=5, seed=42)
+    qids = [0, 1, 2]
+    brute = sorted(map(tuple, cosine_topk(emb, qids, k=5).collect()))
+    full = sorted(map(tuple, ivf_topk(emb, qids, cents, k=5, nprobe=8).collect()))
+    assert brute == full
+
+
 def test_simhash_identical_and_near(spark):
     df = docs(spark, [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")])
     h = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
