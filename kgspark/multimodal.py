@@ -241,9 +241,9 @@ def encode_bmp24(rgb: np.ndarray) -> bytes:
     )
 
 
-def decode_bmp(p: bytes) -> list[float]:
-    """BITMAPINFOHEADER 24bpp decoder (bottom-up and top-down, padded
-    strides). Feature: [2, w, h, sum_r, sum_g, sum_b, max, min]."""
+def _bmp_rgb(p: bytes) -> np.ndarray:
+    """BITMAPINFOHEADER 24bpp pixel decode (bottom-up and top-down,
+    padded strides) -> (h, w, 3) uint8 RGB."""
     if p[:2] != b"BM":
         raise ValueError("not a BMP payload")
     off = struct.unpack("<I", p[10:14])[0]
@@ -261,7 +261,13 @@ def decode_bmp(p: bytes) -> list[float]:
             np.frombuffer(p, dtype=np.uint8, count=w * 3, offset=off + src_y * stride)
             .reshape(w, 3)[:, ::-1]  # BGR -> RGB
         )
-    rgb = np.stack(rows).astype(np.int64)  # (h, w, 3)
+    return np.stack(rows)
+
+
+def decode_bmp(p: bytes) -> list[float]:
+    """BMP feature: [2, w, h, sum_r, sum_g, sum_b, max, min]."""
+    rgb = _bmp_rgb(p).astype(np.int64)  # (h, w, 3)
+    h, w = rgb.shape[:2]
     return [
         2.0, float(w), float(h), float(rgb[:, :, 0].sum()),
         float(rgb[:, :, 1].sum()), float(rgb[:, :, 2].sum()),
@@ -274,9 +280,9 @@ def encode_ppm(rgb: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode("ascii") + rgb.astype(np.uint8).tobytes()
 
 
-def decode_ppm(p: bytes) -> list[float]:
-    """P6 binary PPM (comment-tolerant header). Feature layout mirrors
-    BMP with code 3."""
+def _ppm_rgb(p: bytes) -> np.ndarray:
+    """P6 binary PPM pixel decode (comment-tolerant header) ->
+    (h, w, 3) uint8 RGB."""
     if p[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     # header tokens: P6, width, height, maxval — '#' comments legal
@@ -296,16 +302,93 @@ def decode_ppm(p: bytes) -> list[float]:
     w, h, maxval = tokens
     if maxval != 255:
         raise NotImplementedError("only maxval=255 PPM is decoded")
-    rgb = (
-        np.frombuffer(p, dtype=np.uint8, count=w * h * 3, offset=pos)
-        .reshape(h, w, 3)
-        .astype(np.int64)
+    return np.frombuffer(p, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
     )
+
+
+def decode_ppm(p: bytes) -> list[float]:
+    """PPM feature layout mirrors BMP with code 3."""
+    rgb = _ppm_rgb(p).astype(np.int64)
+    h, w = rgb.shape[:2]
     return [
         3.0, float(w), float(h), float(rgb[:, :, 0].sum()),
         float(rgb[:, :, 1].sum()), float(rgb[:, :, 2].sum()),
         float(rgb.max()), float(rgb.min()),
     ]
+
+
+def decode_rgb(p: bytes) -> np.ndarray:
+    """Magic-byte dispatch to a pixel decoder (images only)."""
+    if p[:2] == b"BM":
+        return _bmp_rgb(p)
+    if p[:2] == b"P6":
+        return _ppm_rgb(p)
+    raise NotImplementedError(
+        f"no pure-python pixel decoder for payload magic {p[:8]!r} — "
+        "jpeg/png/webp require PIL; plug the codec in here"
+    )
+
+
+def nn_resize(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize with pixel-center sampling: source index
+    sx = floor((x + 0.5) * w / W) = ((2x + 1) * w) // (2W) — pure integer
+    arithmetic, so the DuckDB oracle re-derives the exact pixels."""
+    h, w = rgb.shape[:2]
+    sx = ((2 * np.arange(width) + 1) * w) // (2 * width)
+    sy = ((2 * np.arange(height) + 1) * h) // (2 * height)
+    return rgb[sy][:, sx]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    on_unsupported: str = "passthrough",
+) -> DataFrame:
+    """Resize every image payload to (width, height), re-encoded in its
+    original container (BMP stays BMP, PPM stays PPM).
+
+    The standard multimodal pre-training normalization step, with the
+    production batch shape: mapInPandas over Arrow batches, pure-numpy
+    decode -> nearest-neighbor resample -> re-encode; no Python
+    per-pixel loops. Non-image rows (and image formats without a
+    pure-python codec when ``on_unsupported="passthrough"``) pass
+    through untouched so mixed media tables survive;
+    ``on_unsupported="raise"`` surfaces them instead.
+    """
+    if on_unsupported not in ("passthrough", "raise"):
+        raise ValueError(f"unknown on_unsupported {on_unsupported!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "url", "kind", "payload",
+                                   "width", "height", "duration_ms")}
+            for _, row in pdf.iterrows():
+                p = row["payload"]
+                w_out, h_out = row["width"], row["height"]
+                if row["kind"] == "image" and p is not None:
+                    try:
+                        rgb = nn_resize(decode_rgb(bytes(p)), width, height)
+                        p = (
+                            encode_bmp24(rgb)
+                            if bytes(p)[:2] == b"BM"
+                            else encode_ppm(rgb)
+                        )
+                        w_out, h_out = width, height
+                    except NotImplementedError:
+                        if on_unsupported == "raise":
+                            raise
+                out["media_id"].append(row["media_id"])
+                out["url"].append(row["url"])
+                out["kind"].append(row["kind"])
+                out["payload"].append(p)
+                out["width"].append(w_out)
+                out["height"].append(h_out)
+                out["duration_ms"].append(row["duration_ms"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
 def decode_payload(p: bytes) -> list[float]:

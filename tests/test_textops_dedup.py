@@ -395,3 +395,51 @@ def test_codec_media_real_features(spark):
 
     with _pt.raises(NotImplementedError, match="ffmpeg"):
         decode_payload(b"\x00\x00\x00\x18ftypmp42....")
+
+
+def test_nn_resize_pixel_exact():
+    """Nearest-neighbor resize uses pixel-center integer index math —
+    exact pixels, no interpolation, mirrored in the DuckDB oracle."""
+    import numpy as np
+
+    from kgspark.multimodal import nn_resize
+
+    rgb = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = nn_resize(rgb, 2, 2)
+    # sx = ((2x+1)*4)//4 -> [1, 3]; same for sy
+    assert out.shape == (2, 2, 3)
+    assert (out == rgb[[1, 3]][:, [1, 3]]).all()
+    up = nn_resize(rgb, 8, 8)  # upscale replicates source pixels
+    assert up.shape == (8, 8, 3)
+    assert (up[0, 0] == rgb[0, 0]).all() and (up[7, 7] == rgb[3, 3]).all()
+
+
+def test_resize_images_roundtrip_and_passthrough(spark):
+    """resize_images re-encodes images in their original container at the
+    target dims; audio rows pass through byte-identical."""
+    import numpy as np
+
+    from kgspark.multimodal import (
+        _bmp_rgb,
+        _ppm_rgb,
+        codec_media_table,
+        nn_resize,
+        resize_images,
+    )
+    from kgspark.multimodal import _codec_rgb
+
+    docs = spark.range(12).select(F.col("id").alias("doc_id"))
+    media = codec_media_table(docs, n=12)
+    before = {r["media_id"]: r for r in media.collect()}
+    out = {r["media_id"]: r for r in resize_images(media, 4, 3).collect()}
+    for mid, r in out.items():
+        if r["kind"] == "audio":
+            assert bytes(r["payload"]) == bytes(before[mid]["payload"])
+            continue
+        assert (r["width"], r["height"]) == (4, 3)
+        p = bytes(r["payload"])
+        rgb = _bmp_rgb(p) if p[:2] == b"BM" else _ppm_rgb(p)
+        expect = nn_resize(_codec_rgb(mid), 4, 3)
+        assert (rgb == expect).all()
+        # container preserved: BMP ids stay BMP, PPM ids stay PPM
+        assert p[:2] == (b"BM" if mid % 3 == 0 else b"P6")
