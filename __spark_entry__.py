@@ -210,8 +210,44 @@ def q_categorize_overlap(spark, sf_dir):
     )
 
 
+def q_overlap_synthesis(spark, sf_dir):
+    """A4 outer/inner row synthesis (the reference's experimental
+    get_combined_text path, R/overlaps.R:331-379,490-527): partial overlap
+    groups additionally emit an OUTER row (union span, setdiff-prefix of
+    the first text || second text for 2-member groups) and an INNER row
+    (intersect span, trimmed prefix of the second text). The oracle
+    re-derives spans, pipe-joined uri lists (first-occurrence order) and
+    the 2-member text arithmetic."""
+    detected = detect_overlap(_linked(spark, sf_dir), doc_col="doc_id")
+    cat = categorize_overlap(
+        detected, doc_col="doc_id", experimental=True, keep_type_col=True
+    )
+    synth = cat.filter(
+        F.col("ovl_type").isin(
+            "ovl_partial|ovl_outer", "ovl_partial|ovl_multiple|ovl_outer",
+            "ovl_partial|ovl_inner", "ovl_partial|ovl_multiple|ovl_inner",
+        )
+    )
+    return synth.select(
+        "doc_id", "ovl_id", "start", F.col("end").alias("end_"),
+        "dbpedia_uri", F.col("text").alias("synth_text"), "ovl_type",
+    )
+
+
 def q_resolve_overlap(spark, sf_dir):
     return _resolved(spark, sf_dir).select("doc_id", "start", "text", "dbpedia_uri", "ovl_id")
+
+
+def q_resolve_overlap_hash(spark, sf_dir):
+    """W2 tiebreak='hash': the deterministic salted replacement for the
+    reference's sample() (R/overlaps.R:606-608). The tie key is md5-derived
+    so the oracle recomputes the identical winner — previously this path
+    was unit-tested only."""
+    resolved = overlap_pipeline(
+        _linked(spark, sf_dir), keep=["longest", "shortest"],
+        tiebreak="hash", doc_col="doc_id",
+    )
+    return resolved.select("doc_id", "start", "text", "dbpedia_uri", "ovl_id")
 
 
 def q_entity_types(spark, sf_dir):
@@ -772,7 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "types_pivot": q_types_pivot,
         "detect_overlap": q_detect_overlap,
         "categorize_overlap": q_categorize_overlap,
+        "overlap_synthesis": q_overlap_synthesis,
         "resolve_overlap": q_resolve_overlap,
+        "resolve_overlap_hash": q_resolve_overlap_hash,
         "entity_types_map": q_entity_types,
         "canonicalize": q_canonicalize,
         "wikidata_props": q_wikidata_props,
@@ -788,10 +826,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_regions": q_align_regions,
         "tei_features": q_tei_features,
         "tei_enrich_roundtrip": q_tei_enrich,
+        "spotlight_json": q_spotlight_json,
+        "tei_roundtrip": q_tei_roundtrip,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "corpus_filter": q_corpus_filter,
@@ -810,8 +848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_sessionize,
         "highlight_view": q_highlight,
         "lexicon_lookup": q_lexicon_lookup,
-        "spotlight_json": q_spotlight_json,
-        "tei_roundtrip": q_tei_roundtrip,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
         "ann_lsh_bucketed": q_ann_lsh,
         "token_decode": q_token_decode,
         "url_normalize": q_url_normalize,
@@ -833,7 +871,9 @@ def oracle_sql() -> dict[str, str]:
         "types_pivot": oracles.q_types_pivot(),
         "detect_overlap": oracles.q_detect_overlap(),
         "categorize_overlap": oracles.q_categorize_overlap(),
+        "overlap_synthesis": oracles.q_overlap_synthesis(),
         "resolve_overlap": oracles.q_resolve_overlap(),
+        "resolve_overlap_hash": oracles.q_resolve_overlap_hash(),
         "entity_types_map": oracles.q_entity_types(),
         "canonicalize": oracles.q_canonicalize(),
         "wikidata_props": oracles.q_wikidata_props(),

@@ -144,13 +144,22 @@ FLAG_SELECT = ",\n      ".join(
 )
 
 
-def resolve_cte(keep: tuple[str, ...] = ("longest", "shortest"), src: str = "categorized") -> str:
+def resolve_cte(keep: tuple[str, ...] = ("longest", "shortest"), src: str = "categorized",
+                tiebreak: str = "first") -> str:
     # WHENs in reverse so the LAST matching keep entry wins (reference
     # parity: the R assignment loop overwrites, R/overlaps.R:569-571)
     keep_case = "CASE " + " ".join(
         f"WHEN contains(ovl_type, 'ovl_{k}') THEN {i + 1}"
         for i, k in reversed(list(enumerate(keep)))
     ) + " END"
+    if tiebreak == "first":
+        order = 'start, "end", text'
+    elif tiebreak == "hash":
+        # mirror of overlaps.resolve_overlap's md5-derived tie key
+        order = ("CAST('0x' || substr(md5(start::VARCHAR || '|' || "
+                 '"end"::VARCHAR || \'|\' || text || \'|\' || ovl_id), 1, 8) AS BIGINT)')
+    else:
+        raise ValueError(f"unknown tiebreak {tiebreak!r}")
     return f"""res0 AS (SELECT *, CASE WHEN ovl_id IS NULL THEN NULL ELSE {keep_case} END AS keepv FROM {src}),
   res1 AS (SELECT *,
       min(CASE WHEN keepv > 0 THEN keepv END) OVER (PARTITION BY doc_id, ovl_id) AS pos_min
@@ -161,7 +170,7 @@ def resolve_cte(keep: tuple[str, ...] = ("longest", "shortest"), src: str = "cat
     FROM res1),
   res3 AS (SELECT *,
       row_number() OVER (PARTITION BY doc_id, ovl_id
-                         ORDER BY CASE WHEN cand THEN 0 ELSE 1 END, start, "end", text) AS rn
+                         ORDER BY CASE WHEN cand THEN 0 ELSE 1 END, {order}) AS rn
     FROM res2),
   resolved AS (
     SELECT * FROM res3
@@ -278,11 +287,72 @@ def q_categorize_overlap() -> str:
     )
 
 
+def q_overlap_synthesis() -> str:
+    """Mirror of the A4 experimental outer/inner synthesis
+    (overlaps._synthesize_inner_outer): partial groups -> one outer and
+    one inner row; uri list pipe-joined in first-occurrence order of the
+    (start, end, uri) sort; 2-member text arithmetic, NULL text beyond."""
+    return (
+        _kg_chain(
+            lex_cte(), spots_cte(), cands_cte(), linked_cte(),
+            detect_cte(), categorize_cte(),
+            """partial AS (
+    SELECT * FROM categorized
+    WHERE ovl_type IN ('ovl_partial', 'ovl_partial|ovl_distinct'))""",
+            # first occurrence of each uri in (start, end, uri) order ==
+            # the uri's minimal (start, end) row; order uris by that key
+            """us0 AS (
+    SELECT doc_id, ovl_id, dbpedia_uri, start, "end",
+      row_number() OVER (PARTITION BY doc_id, ovl_id, dbpedia_uri
+                         ORDER BY start, "end") AS rn
+    FROM partial)""",
+            """uris AS (
+    SELECT doc_id, ovl_id,
+      string_agg(dbpedia_uri, '|' ORDER BY start, "end", dbpedia_uri) AS uris
+    FROM us0 WHERE rn = 1 GROUP BY doc_id, ovl_id)""",
+            """synth_base AS (
+    SELECT p.doc_id, p.ovl_id, count(*) AS n,
+      count(DISTINCT p.dbpedia_uri) AS n_uri,
+      min(p.start) AS min_s, max(p.start) AS max_s,
+      min(p."end") AS min_e, max(p."end") AS max_e,
+      arg_min(p.text, p.start) AS t1, arg_max(p.text, p.start) AS t2,
+      arg_min(p."end", p.start) AS e1, any_value(u.uris) AS uris
+    FROM partial p JOIN uris u USING (doc_id, ovl_id)
+    GROUP BY p.doc_id, p.ovl_id)""",
+        )
+        + """
+SELECT doc_id, ovl_id, start, end_, dbpedia_uri, synth_text, ovl_type FROM (
+  SELECT doc_id, ovl_id, min_s AS start, max_e AS end_, uris AS dbpedia_uri,
+    CASE WHEN n = 2
+         THEN substr(t1, 1, least(e1 - min_s + 1, max_s - min_s)::INT) || t2
+    END AS synth_text,
+    CASE WHEN n_uri = 1 THEN 'ovl_partial|ovl_outer'
+         ELSE 'ovl_partial|ovl_multiple|ovl_outer' END AS ovl_type
+  FROM synth_base
+  UNION ALL
+  SELECT doc_id, ovl_id, max_s, min_e, uris,
+    CASE WHEN n = 2 THEN trim(substr(t2, 1, (min_e - max_s + 1)::INT)) END,
+    CASE WHEN n_uri = 1 THEN 'ovl_partial|ovl_inner'
+         ELSE 'ovl_partial|ovl_multiple|ovl_inner' END
+  FROM synth_base)"""
+    )
+
+
 def q_resolve_overlap() -> str:
     return (
         _kg_chain(
             lex_cte(), spots_cte(), cands_cte(), linked_cte(),
             detect_cte(), categorize_cte(), resolve_cte(),
+        )
+        + "\nSELECT doc_id, start, text, dbpedia_uri, ovl_id FROM resolved"
+    )
+
+
+def q_resolve_overlap_hash() -> str:
+    return (
+        _kg_chain(
+            lex_cte(), spots_cte(), cands_cte(), linked_cte(),
+            detect_cte(), categorize_cte(), resolve_cte(tiebreak="hash"),
         )
         + "\nSELECT doc_id, start, text, dbpedia_uri, ovl_id FROM resolved"
     )

@@ -423,7 +423,28 @@ def resolve_overlap(
     if tiebreak == "first":
         order = [F.col(start_col), F.col(end_col), F.col(text_col)]
     elif tiebreak == "hash":
-        order = [F.xxhash64(F.col(start_col), F.col(end_col), F.col(text_col), F.col("ovl_id"))]
+        # md5-derived (not engine-native xxhash64) so the DuckDB oracle
+        # recomputes the identical tie winner bit-for-bit — same policy
+        # as every dedup hash in this repo.
+        order = [
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col(start_col),
+                            F.col(end_col),
+                            F.col(text_col),
+                            F.col("ovl_id"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ]
     elif tiebreak == "remove":
         order = None
     else:

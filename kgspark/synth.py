@@ -75,6 +75,17 @@ LEXICON_ROWS: list[tuple] = [
     ("key", "dbr:Key_(cryptography)", 0.5, 130, ["Concept"], ["Q44528"], "hash"),
     ("key", "dbr:Key_(music)", 0.5, 110, ["Concept"], ["Q44528"], "line"),
     ("value", "dbr:Value_(economics)", 1.0, 170, ["Concept"], ["Q44528"], "order customer"),
+    # Staggered (partial-overlap) pairs — words deliberately absent from
+    # every other surface form, so wherever the corpus emits the trigram
+    # "order column part" / "order filter small" the two bigram mentions
+    # overlap WITHOUT containment: the A4 outer/inner synthesis path
+    # (overlap_synthesis query) gets real rows. Same uri on the first pair
+    # (-> 'ovl_partial'), distinct uris on the second
+    # (-> 'ovl_partial|ovl_distinct' + the |ovl_multiple synth variants).
+    ("order column", "dbr:Column_ordering", 1.0, 350, ["Software"], ["Q7397"], "table sort"),
+    ("column part", "dbr:Column_ordering", 1.0, 340, ["Software"], ["Q7397"], "table sort"),
+    ("order filter", "dbr:Filter_ordering", 1.0, 330, ["Software"], ["Q7397"], "query scan"),
+    ("filter small", "dbr:Small_filter", 1.0, 320, ["Algorithm"], ["Q8366"], "query scan"),
     ("group", "dbr:Grouping", 1.0, 60, ["Concept"], ["Q44528"], "agg key"),
 ]
 
