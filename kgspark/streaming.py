@@ -160,7 +160,8 @@ DEDUP_STATE_SCHEMA = "seen long"
 
 
 def streaming_dedup(docs_stream: DataFrame, id_col: str = "url",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    state_ttl_minutes: float | None = None) -> DataFrame:
     """Streaming exact dedup: emit only the FIRST document per content
     fingerprint, across micro-batches.
 
@@ -168,8 +169,13 @@ def streaming_dedup(docs_stream: DataFrame, id_col: str = "url",
     operator; the state store remembers fingerprints already emitted
     (checkpoint-durable), so an incremental crawl drops re-crawled and
     mirrored bodies as they arrive instead of in a nightly batch job.
-    Within a batch the deterministic winner is the minimum id. State is
-    one long per distinct fingerprint — at 10^12 docs you would shard the
+    Within a batch the deterministic winner is the minimum id.
+
+    State is one long per distinct fingerprint, which grows without bound
+    on an endless crawl. ``state_ttl_minutes`` bounds it: a fingerprint
+    idle for the TTL is evicted (processing-time timeout), so a re-crawl
+    seen again AFTER the TTL re-emits — the standard bounded-state
+    dedup-window tradeoff. At 10^12 docs you would additionally shard the
     state store or front it with a bloom filter; the operator shape
     (groupBy fingerprint -> applyInPandasWithState) is unchanged.
     """
@@ -177,10 +183,18 @@ def streaming_dedup(docs_stream: DataFrame, id_col: str = "url",
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    ttl_ms = None if state_ttl_minutes is None else int(state_ttl_minutes * 60_000)
+
     def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            # fingerprint idle past the TTL: forget it (bounded state)
+            state.remove()
+            return
         fp = key[0]
         rows = pd.concat(list(pdfs), ignore_index=True)
         n = len(rows)
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if state.exists:
             (seen,) = state.get
             state.update((seen + n,))
@@ -201,7 +215,11 @@ def streaming_dedup(docs_stream: DataFrame, id_col: str = "url",
         outputStructType=f"{id_col} string, fingerprint string",
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 
