@@ -480,11 +480,13 @@ def q_embed_neardup(spark, sf_dir):
 
 def q_embed_neardup_lsh(spark, sf_dir):
     """The scale path: multi-table sketch buckets + one-sided 1-bit
-    multiprobe; equi-join, no all-pairs. Measured recall 1.0 vs the exact
+    multiprobe, then a 248-bit signature hamming gate before the exact
+    dot (at threshold 0.4 the buckets pass ~94% of all pairs; the gate
+    cuts the Arrow-scored pairs ~8x). Measured recall 1.0 vs the exact
     pairs at sf0.01 (0.83 without multiprobe)."""
     return embedding_near_duplicates(
         _load(spark, sf_dir, "embeddings"), threshold=0.4, n_tables=8,
-        multiprobe=True,
+        multiprobe=True, hamming_prefilter=True,
     )
 
 
@@ -904,7 +906,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracles.q_dedup_simhash(),
         "embed_neardup": oracles.q_embed_neardup(threshold=0.4),
         "embed_neardup_lsh": oracles.q_embed_neardup_lsh(
-            threshold=0.4, n_tables=8, multiprobe=True),
+            threshold=0.4, n_tables=8, multiprobe=True,
+            hamming_prefilter=True),
         "embed_cosine_topk": oracles.q_embed_topk(),
         "events_sessionize": oracles.q_sessionize(),
         "tpch_pricing": oracles.q_tpch_pricing(),

@@ -951,11 +951,18 @@ FROM bases LEFT JOIN hits USING (query_id)"""
 
 def q_embed_neardup_lsh(threshold: float = 0.4, n_planes: int = 4,
                         n_tables: int = 8, seed: int = 42, dim: int = 64,
-                        multiprobe: bool = False) -> str:
+                        multiprobe: bool = False,
+                        hamming_prefilter: bool = False, sig_bits: int = 248,
+                        sig_seed: int = 1042, sig_slack: float = 3.0) -> str:
     """Bucketed near-duplicate mirror: same multi-table sketch as the Spark
     operator, candidate = same-bucket collision in any table; with
-    ``multiprobe`` the a-side additionally probes 1-bit-flip buckets."""
-    from kgspark.similarity import _hyperplanes
+    ``multiprobe`` the a-side additionally probes 1-bit-flip buckets; with
+    ``hamming_prefilter`` the same wide sign signature + bit_count(xor)
+    gate as the operator (identical planes and cutoff, raw-sign test on
+    list_dot_product — bit-identical to the Arrow kernel's fold order)."""
+    from kgspark.similarity import (
+        SIG_WORD_BITS, _hyperplanes, hamming_cutoff,
+    )
 
     planes = _hyperplanes(dim, n_planes * n_tables, seed)
     plane_lits = ["[" + ", ".join(repr(float(v)) for v in p) + "]" for p in planes]
@@ -979,13 +986,35 @@ def q_embed_neardup_lsh(threshold: float = 0.4, n_planes: int = 4,
     else:
         probe_cte = ""
         a_side = "sk"
+    sig_cte, sig_join, sig_where = "", "", ""
+    if hamming_prefilter:
+        sig_planes = _hyperplanes(dim, sig_bits, sig_seed)
+        sig_lits = ["[" + ", ".join(repr(float(v)) for v in p) + "]" for p in sig_planes]
+        n_words = (sig_bits + SIG_WORD_BITS - 1) // SIG_WORD_BITS
+        words = []
+        for w in range(n_words):
+            terms = " + ".join(
+                f"(CASE WHEN list_dot_product(v, {sig_lits[w * SIG_WORD_BITS + i]}) > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+                for i in range(min(SIG_WORD_BITS, sig_bits - w * SIG_WORD_BITS))
+            )
+            words.append(f"{terms} AS s{w}")
+        cutoff = hamming_cutoff(threshold, sig_bits, sig_slack)
+        sig_cte = f""",
+  sigs AS (SELECT vec_id, {", ".join(words)} FROM e)"""
+        sig_join = " JOIN sigs sa ON sa.vec_id = a.vec_id JOIN sigs sb ON sb.vec_id = b.vec_id"
+        # bit_count returns TINYINT in DuckDB — widen before summing words
+        hamming = " + ".join(
+            f"bit_count(xor(sa.s{w}, sb.s{w}))::INTEGER" for w in range(n_words)
+        )
+        sig_where = f" AND {hamming} <= {cutoff}"
     return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
   u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v FROM e),
   sk AS (
-    {table_union}){probe_cte},
+    {table_union}){probe_cte}{sig_cte},
   pairs AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM {a_side} a JOIN sk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    FROM {a_side} a JOIN sk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id{sig_join}
+    WHERE TRUE{sig_where})
 SELECT vec_a, vec_b, sim FROM (
   SELECT p.vec_a, p.vec_b,
     round(list_dot_product(ea.v, eb.v), 6) AS sim

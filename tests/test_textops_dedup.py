@@ -317,6 +317,19 @@ def test_embed_neardup_bucketed_recall_floor(spark):
     assert bucketed <= probed <= exact
     if exact:
         assert len(probed) / len(exact) >= 0.8, "multiprobe recall below floor"
+    # the registered scale path adds the 248-bit signature hamming gate:
+    # a subset of the probed candidates, and the 3-sigma cutoff must not
+    # cost measurable recall (measured: identical sets on this corpus)
+    gated = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_duplicates(
+            emb, threshold=0.4, n_tables=8, multiprobe=True,
+            hamming_prefilter=True,
+        ).collect()
+    }
+    assert gated <= probed
+    if exact:
+        assert len(gated) / len(exact) >= 0.8, "hamming gate recall below floor"
 
 
 def test_ann_multiprobe_recall_floor(spark):
