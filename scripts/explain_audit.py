@@ -127,6 +127,8 @@ def main() -> int:
     neardup_exchanges = re.findall(r"hashpartitioning\(vec_a#\d+L?, vec_b#\d+L?, \d+\)", p)
     checks.append(("near-dup candidate dedup exchanges on (vec_a, vec_b) ids only",
                    len(neardup_exchanges) >= 1, p))
+    checks.append(("near-dup hamming gate is codegen bit_count (pre-scoring prune)",
+                   "bit_count" in p, p))
 
     # 11. MinHash LSH dedup: the head-bucket cap is in the plan and the
     # band self-join shuffles id-only rows (shingle arrays re-attached to
