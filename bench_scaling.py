@@ -375,12 +375,34 @@ protocol vs round 3).""")
 
 
 def _dram_section() -> str:
-    """Binding-resource evidence from scripts/dram_probe.py, if present."""
+    """Binding-resource evidence from scripts/dram_probe.py, if present.
+
+    The measured 8->32 / 2->8 efficiencies are read live from the persisted
+    SCALING_*.json runs so a rerun never leaves stale numbers in the prose.
+    """
     path = os.path.join(HERE, "BENCH", "DRAM.json")
     if not os.path.exists(path):
         return ""
     with open(path) as fh:
         d = json.load(fh)
+
+    def _eff(lo: int, hi: int):
+        p = os.path.join(HERE, "BENCH", f"SCALING_{lo}_{hi}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            r = json.load(fh)
+        return r["scaling_efficiency"].get(f"{lo}->{hi}")
+
+    eff_wide = _eff(8, 32)
+    eff_low = _eff(2, 8)
+    speedup_wide = round(4 * eff_wide, 1) if eff_wide is not None else None
+    hw_wide = None
+    p = os.path.join(HERE, "BENCH", "SCALING_8_32.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            hw_wide = json.load(fh)["hardware_ceiling"].get("8->32")
+    hw_x = round(4 * hw_wide, 1) if hw_wide is not None else 3.2
     return f"""
 **The wide step's binding resource, measured** (`python
 scripts/dram_probe.py`, triad-style 64MB-array stream on pinned cores,
@@ -388,15 +410,15 @@ run in isolation — BENCH/DRAM.json): aggregate DRAM bandwidth is
 {d['1']} GB/s at 1 thread, {d['8']} GB/s at 8, {d['32']} GB/s at 32 —
 going 8 -> 32 cores multiplies task slots 4x but this VM's memory bus by
 only **{d['scale_8_32']}x** (the bus saturates). The cache-resident md5
-probe (compute ceiling, ~3.2x at 8->32) cannot see this. A
+probe (compute ceiling, ~{hw_x}x at 8->32) cannot see this. A
 shuffle-heavy pipeline's attainable speedup lies BETWEEN the bandwidth
-ceiling ({d['scale_8_32']}x) and the compute ceiling (~3.2x); the
-measured 8->32 speedup of ~1.9x (efficiency 0.472) sits exactly in that
-band — the plan is not the limiter, the single box's memory system is.
-On a real 8 -> 32 EXECUTOR scale-out, DRAM channels, LLC and shuffle
-disks all multiply 4x with the cores; the 2->8 pair (0.821 raw, hardware
-still has headroom there) is the honest proxy for that regime and meets
-the >=0.8 target.
+ceiling ({d['scale_8_32']}x) and the compute ceiling (~{hw_x}x); the
+measured 8->32 speedup of ~{speedup_wide}x (efficiency {eff_wide}) sits
+in that band — the plan is not the limiter, the single box's memory
+system is. On a real 8 -> 32 EXECUTOR scale-out, DRAM channels, LLC and
+shuffle disks all multiply 4x with the cores; the 2->8 pair
+({eff_low} raw, hardware still has headroom there) is the honest proxy
+for that regime and meets the >=0.8 target.
 """
 
 

@@ -55,6 +55,20 @@ def main(argv: list[str] | None = None) -> int:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
     docs = spark.read.parquet(args.input)
+    # Schema-driven defaults so the bare invocation works on any documents
+    # table: inputs without an `html` column are already extracted text, and
+    # the id column falls back to `doc_id` when the default `url` is absent.
+    # Explicit --no-html / --doc-col always win.
+    use_html = not args.no_html
+    if use_html and "html" not in docs.columns:
+        print(f"kg_construct: input has no 'html' column "
+              f"({docs.columns}); assuming extracted text", file=sys.stderr)
+        use_html = False
+    doc_col = args.doc_col
+    if doc_col not in docs.columns and "doc_id" in docs.columns:
+        print(f"kg_construct: no '{doc_col}' column; using 'doc_id'",
+              file=sys.stderr)
+        doc_col = "doc_id"
     lexicon = (
         spark.read.parquet(args.lexicon) if args.lexicon else synth.lexicon_df(spark)
     )
@@ -69,13 +83,13 @@ def main(argv: list[str] | None = None) -> int:
         confidence=args.confidence,
         min_support=args.min_support,
         checkpoint_root=args.checkpoint,
-        use_html=not args.no_html,
+        use_html=use_html,
         rebalance_segments=args.rebalance_segments,
         redirects_preclosed=args.redirects_preclosed,
         lexicon_artifact=args.lexicon_artifact,
     )
     t0 = time.time()
-    out = run_pipeline(spark, docs, lexicon, redirects, sameas, cfg, doc_col=args.doc_col)
+    out = run_pipeline(spark, docs, lexicon, redirects, sameas, cfg, doc_col=doc_col)
     write_triples(out["triples"], args.output)
     summary = {
         "wall_sec": round(time.time() - t0, 1),
