@@ -415,6 +415,40 @@ def q_vocabulary_stats(spark, sf_dir):
     return textops.vocabulary_stats(_docs(spark, sf_dir), k=100)
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Shuffle-free deterministic domain reweighting: integer hash
+    threshold per source, predicate sits on the parquet scan."""
+    from kgspark.sampling import DEMO_WEIGHTS, mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir), DEMO_WEIGHTS).select(
+        "doc_id", "source"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exactly k uniform docs per source via the two-level salted top-k
+    (bounded window partitions — no whole-stratum-in-one-task skew)."""
+    from kgspark.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), k=7)
+
+
+def q_unigram_logprob(spark, sf_dir):
+    return textops.unigram_logprob(_docs(spark, sf_dir))
+
+
+def q_tfidf_topk(spark, sf_dir):
+    return textops.tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+def q_dup_ngram_spans(spark, sf_dir):
+    """Substring-level dedup signal: maximal word spans covered by 8-grams
+    occurring in >= 2 distinct documents."""
+    from kgspark.dedup import dup_ngram_spans
+
+    return dup_ngram_spans(_docs(spark, sf_dir), n=8, min_docs=2)
+
+
 def q_pack_sequences(spark, sf_dir):
     return textops.pack_sequences(_docs(spark, sf_dir), budget=2048, n_shards=8)
 
@@ -817,6 +851,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize": q_canonicalize,
         "wikidata_props": q_wikidata_props,
         "triples": q_triples,
+        "mixture_sample": q_mixture_sample,
+        "stratified_sample": q_stratified_sample,
+        "unigram_logprob": q_unigram_logprob,
+        "tfidf_topk": q_tfidf_topk,
+        "dup_ngram_spans": q_dup_ngram_spans,
         "ann_lsh_recall": q_ann_recall,
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
@@ -896,6 +935,11 @@ def oracle_sql() -> dict[str, str]:
         "url_host_stats": oracles.q_url_host_stats(),
         "pack_sequences": oracles.q_pack_sequences(budget=2048, n_shards=8),
         "vocabulary_stats": oracles.q_vocabulary_stats(k=100),
+        "mixture_sample": oracles.q_mixture_sample(),
+        "stratified_sample": oracles.q_stratified_sample(k=7),
+        "unigram_logprob": oracles.q_unigram_logprob(),
+        "tfidf_topk": oracles.q_tfidf_topk(k=5),
+        "dup_ngram_spans": oracles.q_dup_ngram_spans(n=8, min_docs=2),
         "dedup_exact": oracles.q_dedup_exact(),
         "dedup_minhash_lsh": oracles.q_dedup_minhash(),
         "dedup_components": oracles.q_dedup_components(),

@@ -113,6 +113,11 @@ def main() -> None:
         "events_sessionize",
         "tpch_pricing",
         "nation_revenue",
+        "mixture_sample",
+        "stratified_sample",
+        "unigram_logprob",
+        "tfidf_topk",
+        "dup_ngram_spans",
     ]:
         # warm pass (codegen/scan-cache), then 2 measured passes, report the
         # min — single-pass timings on this VM record 30-40% host-CPU swings

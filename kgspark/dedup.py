@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 log = logging.getLogger(__name__)
 
@@ -475,3 +475,74 @@ def simhash_near_duplicates(
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Repeated n-gram span detection — substring-level dedup (the signal behind
+# exact-substring deduplication, Lee et al. 2021 "Deduplicating Training
+# Data Makes Language Models Better"). The reference dedups whole
+# annotations only (R/dbpedia.R unique() over rows); at crawl scale the
+# damaging duplication is PARTIAL — boilerplate paragraphs repeated across
+# hosts. Suffix arrays don't distribute; the Spark-shaped equivalent is the
+# n-gram fingerprint join below: every word n-gram is hashed, n-grams seen
+# in >= min_docs distinct documents are "duplicated", and per document the
+# duplicated n-gram starts are merged into maximal word-index spans.
+#
+# Shuffle shape at 100 TB: one hash agg over the n-gram stream keyed by the
+# 8-byte hash (partial+final, the stream never carries the n-gram text
+# past the map side), one equi-join of (doc, start, hash) against the
+# surviving duplicate hashes (AQE-broadcast when few survive), then a
+# doc-keyed window for the gaps-and-islands merge — bounded partitions.
+def dup_ngram_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_grams) maximal duplicated spans.
+
+    ``span_start``/``span_end`` are 1-based WORD indices of the first and
+    last word covered by any duplicated n-gram; ``n_grams`` counts the
+    duplicated n-gram starts merged into the span. Two n-grams merge when
+    their windows overlap or touch (start <= prev_start + n).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+                lambda i: F.struct(
+                    i.alias("start_idx"),
+                    _hash64_expr(F.array_join(F.slice(toks, i, n), " ")).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, "g.start_idx", "g.h")
+
+    dup_hashes = (
+        grams.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    hits = grams.join(dup_hashes, "h").select(id_col, "start_idx")
+
+    w = Window.partitionBy(id_col).orderBy("start_idx")
+    prev = F.lag("start_idx").over(w)
+    island = F.sum(
+        F.when(prev.isNull() | (F.col("start_idx") > prev + n), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        hits.withColumn("_island", island)
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("start_idx").alias("span_start"),
+            (F.max("start_idx") + (n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )

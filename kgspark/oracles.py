@@ -1319,3 +1319,80 @@ SELECT doc_id,
   CASE WHEN len({dt}) > 0 THEN '|' || array_to_string({dt}, '|') || '|' END AS dbpedia_type,
   CASE WHEN len({wt}) > 0 THEN '|' || array_to_string({wt}, '|') || '|' END AS wikidata_type
 FROM res"""
+
+
+# ---------------------------------------------------------------------------
+# sampling / curation operators (kgspark.sampling, kgspark.textops additions)
+_TOKS_CTE = (
+    r"toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+    r"lower(text), '\s+'), t -> length(t) > 0)) AS word FROM documents)"
+)
+
+
+def q_mixture_sample() -> str:
+    from kgspark.sampling import DEMO_WEIGHTS, HASH_SPACE
+
+    rows = ", ".join(
+        f"('{s}', CAST({w} * {HASH_SPACE} AS BIGINT))"
+        for s, w in sorted(DEMO_WEIGHTS.items())
+    )
+    return f"""WITH th(source, thr) AS (VALUES {rows}),
+  h AS (SELECT doc_id, source,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+        FROM documents)
+SELECT h.doc_id, h.source FROM h JOIN th USING (source) WHERE hv < thr"""
+
+
+def q_stratified_sample(k: int = 7) -> str:
+    return f"""WITH h AS (SELECT doc_id, source,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+  FROM documents),
+  r AS (SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rank
+        FROM h)
+SELECT doc_id, source, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}"""
+
+
+def q_unigram_logprob() -> str:
+    return f"""WITH {_TOKS_CTE},
+  vocab AS (SELECT word, count(*) AS n_word FROM toks GROUP BY 1),
+  total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+SELECT doc_id, count(*) AS n_tokens,
+  round(avg(round(ln(n_word / (SELECT n FROM total)), 6)), 6) AS avg_logprob
+FROM toks JOIN vocab USING (word) GROUP BY doc_id"""
+
+
+def q_tfidf_topk(k: int = 5) -> str:
+    return f"""WITH {_TOKS_CTE},
+  tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+  dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+  n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+  sc AS (SELECT doc_id, word, tf,
+           round(tf * round(ln((SELECT n FROM n) / df), 6), 6) AS tfidf
+         FROM tf JOIN dfq USING (word)),
+  r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY tfidf DESC, word) AS rank FROM sc)
+SELECT doc_id, word, tf, tfidf, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}"""
+
+
+def q_dup_ngram_spans(n: int = 8, min_docs: int = 2) -> str:
+    return rf"""WITH tk AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'),
+                t -> length(t) > 0) AS tk FROM documents),
+  ng AS (SELECT doc_id,
+      unnest(list_transform(generate_series(1, greatest(len(tk) - {n - 1}, 0)),
+        i -> {{'i': i, 'h': CAST('0x' || substr(md5(array_to_string(
+               list_slice(tk, i, i + {n - 1}), ' ')), 1, 8) AS BIGINT)}})) AS s
+    FROM tk),
+  g AS (SELECT doc_id, s.i AS start_idx, s.h AS h FROM ng),
+  duph AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= {min_docs}),
+  hits AS (SELECT doc_id, start_idx FROM g JOIN duph USING (h)),
+  isl AS (SELECT doc_id, start_idx,
+      sum(CASE WHEN prev IS NULL OR start_idx > prev + {n} THEN 1 ELSE 0 END)
+        OVER (PARTITION BY doc_id ORDER BY start_idx ROWS UNBOUNDED PRECEDING) AS island
+    FROM (SELECT doc_id, start_idx,
+            lag(start_idx) OVER (PARTITION BY doc_id ORDER BY start_idx) AS prev
+          FROM hits))
+SELECT doc_id, min(start_idx) AS span_start, max(start_idx) + {n - 1} AS span_end,
+  count(*) AS n_grams
+FROM isl GROUP BY doc_id, island"""

@@ -181,6 +181,67 @@ def vocabulary_stats(df, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Unigram log-probability scoring — the cheap perplexity proxy used to rank
+# crawl documents by "typicality" before the expensive model-based filters.
+# Two aggregation passes over the token stream: corpus unigram counts
+# (partial+final hash agg), then a shuffle equi-join of the token stream
+# against the vocabulary and a per-doc average. The vocabulary join is NOT
+# broadcast by design: at crawl scale the long-tail vocab is many GB, and
+# the join key (word) is exactly the aggregation key, so AQE coalesces the
+# two stages onto one exchange. Inner log values are rounded to 6 decimals
+# BEFORE averaging so both engines sum identical summands (libm ln differs
+# in ulps across engines).
+def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_nonempty(tokens(F.lower(F.col(text_col))))).alias("word"),
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
+    total = toks.count()
+    scored = toks.join(vocab, "word")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.round(F.log(F.col("n_word") / F.lit(float(total))), 6)), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document — the classic keyword/routing signal.
+# tf from a (doc, word) hash agg, df from a word hash agg, idf joined back
+# on word (same key as the df agg => one exchange), then a doc-keyed
+# row_number window for the top-k — bounded partitions (one doc's vocab).
+# Scores are rounded before ranking so the order (score desc, word asc) is
+# engine-stable.
+def tfidf_topk(df, k: int = 5, text_col: str = "text", id_col: str = "doc_id"):
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_nonempty(tokens(F.lower(F.col(text_col))))).alias("word"),
+    )
+    tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("word").agg(F.count_distinct(id_col).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(dfreq, "word").select(
+        id_col, "word", "tf",
+        F.round(
+            F.col("tf") * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "word", "tf", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing — assign documents to fixed-token-budget packs, the
 # standard LLM pre-training batching step. Deterministic spec: within a
 # shard (doc_id % n_shards), documents are laid out in doc_id order as one

@@ -179,6 +179,35 @@ def main() -> int:
         ("no (doc_id, start, text) aggregation exchange remains",
          not re.search(r"hashpartitioning\(doc_id#\d+L?, start#", p), p))
 
+    # 13. mixture sampling: pure scan-side predicate — no exchange, no UDF
+    p = plan_of(entrymod.q_mixture_sample(spark, SF))
+    sections.append(("mixture_sample", p))
+    checks.append(("mixture_sample has no shuffle", "Exchange" not in p, p))
+    checks.append(("mixture_sample is UDF-free codegen",
+                   "EvalPython" not in p and "codegen id" in p, p))
+
+    # 14. stratified sample: the level-1 window must partition on
+    # (stratum, salt) — bounded partitions — before the level-2 stratum
+    # window sees at most k*n_salts rows per stratum
+    p = plan_of(entrymod.q_stratified_sample(spark, SF))
+    sections.append(("stratified_sample (two-level top-k)", p))
+    checks.append(("stratified level-1 exchange is salted (source, _salt)",
+                   bool(re.search(r"hashpartitioning\(source#\d+, _salt#", p)), p))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    checks.append(
+        (f"stratified_sample has exactly 2 exchanges (found {n_ex})",
+         n_ex == 2, p))
+
+    # 15. duplicated n-gram spans: equi-join against the duplicate-hash
+    # set (no cartesian), duplicate detection as partial+final aggregate
+    p = plan_of(entrymod.q_dup_ngram_spans(spark, SF))
+    sections.append(("dup_ngram_spans", p))
+    checks.append(("dup_ngram_spans is equi-join (no cartesian/BNLJ)",
+                   "CartesianProduct" not in p
+                   and "BroadcastNestedLoopJoin" not in p, p))
+    checks.append(("dup-hash detection is partial+final HashAggregate",
+                   p.count("HashAggregate") >= 2, p))
+
     ok = True
     lines = ["# Physical-plan audit (generated by scripts/explain_audit.py)\n"]
     lines.append("| check | result |")
