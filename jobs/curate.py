@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the training-data curation pipeline.
+
+    spark-submit --py-files kgspark.zip jobs/curate.py \
+        --input <documents parquet> --output <dir> \
+        [--quality-floor 0.5] [--mixture '{"src0": 0.8, "src1": 0.25}'] \
+        [--pack-budget 2048] [--pack-shards 64]
+
+Composes the curation operators into the production corpus pass:
+
+    quality gate (lang -> quality -> repetition, first-failing reason)
+      -> exact dedup (md5 fingerprint, min-id representative)
+      -> optional domain-mixture thinning (deterministic integer-hash
+         Bernoulli per source — zero shuffle, reproducible)
+      -> optional sequence packing (token-budget pack assignment)
+      -> curated parquet + _curate_manifest.json
+
+The manifest records the document count after every stage and the
+drop-reason breakdown, so nothing is silently discarded: at 100 TB the
+difference between "filtered" and "lost" is the lineage trail.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--quality-floor", type=float, default=0.5)
+    ap.add_argument("--mixture", default=None,
+                    help="JSON {source: weight} for deterministic "
+                         "domain-mixture thinning; omit to keep all sources")
+    ap.add_argument("--pack-budget", type=int, default=2048,
+                    help="token budget per pack; 0 disables packing")
+    ap.add_argument("--pack-shards", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from kgspark import textops
+    from kgspark.lineage import write_manifest
+    from kgspark.sampling import mixture_sample
+
+    spark = SparkSession.builder.appName("kgspark-curate").getOrCreate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    text = F.col(args.text_col)
+
+    # --- stage 1: quality gate — one narrow projection, all signals ---
+    stats = textops.repetition_stats(text)
+    lang = textops.lang_id(text)
+    qual = textops.quality_score(text)
+    reason = (
+        F.when(~lang.isin("en", "und"), F.lit("lang"))
+        .when(qual < args.quality_floor, F.lit("quality"))
+        .when(~stats["gopher_keep"], F.lit("repetition"))
+        .otherwise(F.lit("ok"))
+    )
+    gated = docs.withColumn("_reason", reason)
+    reasons = {
+        r["_reason"]: r["n"]
+        for r in gated.groupBy("_reason").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_input = sum(reasons.values())
+    kept = gated.filter(F.col("_reason") == "ok").drop("_reason")
+
+    # --- stage 2: exact dedup — keep the min-id representative ---
+    from kgspark.dedup import exact_duplicates
+
+    reps = exact_duplicates(kept, id_col=args.id_col, text_col=args.text_col)
+    deduped = kept.join(
+        reps.filter(~F.col("is_dup")).select(args.id_col), args.id_col
+    )
+    n_dedup = deduped.count()
+
+    # --- stage 3: optional mixture thinning ---
+    if args.mixture:
+        weights = json.loads(args.mixture)
+        curated = mixture_sample(
+            deduped, weights, id_col=args.id_col, source_col=args.source_col
+        )
+    else:
+        curated = deduped
+    # cache: packing + the final count + the write all consume it
+    curated = curated.persist()
+    n_curated = curated.count()
+
+    # --- stage 4: optional pack assignment, joined back onto the docs ---
+    if args.pack_budget > 0:
+        packs = textops.pack_sequences(
+            curated, budget=args.pack_budget, n_shards=args.pack_shards,
+            id_col=args.id_col, text_col=args.text_col,
+        ).select(args.id_col, "pack_id", "pack_offset")
+        out = curated.join(packs, args.id_col)
+    else:
+        out = curated
+    out.write.mode("overwrite").parquet(args.output)
+
+    manifest = {
+        "wall_sec": round(time.time() - t0, 1),
+        "n_input": n_input,
+        "reasons": {k: v for k, v in sorted(reasons.items())},
+        "n_after_filter": reasons.get("ok", 0),
+        "n_after_dedup": n_dedup,
+        "n_curated": n_curated,
+        "mixture": bool(args.mixture),
+        "pack_budget": args.pack_budget,
+    }
+    write_manifest(spark, f"{args.output}/_curate_manifest.json", manifest)
+    print(json.dumps(manifest))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

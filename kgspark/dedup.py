@@ -510,6 +510,11 @@ def dup_ngram_spans(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
     )
+    # 60-bit md5 prefix, not the 32-bit `_hash64_expr`: a crawl shard with
+    # ~10^6 distinct n-grams would see dozens of birthday collisions at 32
+    # bits — each one a FALSE duplicated span. 15 hex digits (< 2^60) keeps
+    # the expected collision count negligible at 10^9 n-grams per shard.
+    ngram_hash = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     grams = df.select(
         F.col(id_col),
         F.explode(
@@ -517,7 +522,7 @@ def dup_ngram_spans(
                 F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
                 lambda i: F.struct(
                     i.alias("start_idx"),
-                    _hash64_expr(F.array_join(F.slice(toks, i, n), " ")).alias("h"),
+                    ngram_hash(F.array_join(F.slice(toks, i, n), " ")).alias("h"),
                 ),
             )
         ).alias("g"),

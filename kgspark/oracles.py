@@ -1382,7 +1382,7 @@ def q_dup_ngram_spans(n: int = 8, min_docs: int = 2) -> str:
   ng AS (SELECT doc_id,
       unnest(list_transform(generate_series(1, greatest(len(tk) - {n - 1}, 0)),
         i -> {{'i': i, 'h': CAST('0x' || substr(md5(array_to_string(
-               list_slice(tk, i, i + {n - 1}), ' ')), 1, 8) AS BIGINT)}})) AS s
+               list_slice(tk, i, i + {n - 1}), ' ')), 1, 15) AS BIGINT)}})) AS s
     FROM tk),
   g AS (SELECT doc_id, s.i AS start_idx, s.h AS h FROM ng),
   duph AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= {min_docs}),

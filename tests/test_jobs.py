@@ -1,0 +1,76 @@
+"""In-process smoke tests for the spark-submit job entry points
+(the spark-submit surface itself is exercised by the verify recipe)."""
+
+import json
+import os
+
+import pytest
+
+
+GOOD_BASE = (
+    "the and was for with this that from they have more some very "
+    "good time people about other many then"
+)
+
+
+def _good_text(i: int) -> str:
+    return f"{GOOD_BASE} {GOOD_BASE} {GOOD_BASE} unique{i} token{i}"
+
+
+@pytest.fixture()
+def curate_input(spark, tmp_path):
+    rows = []
+    for i in range(30):  # good docs, alternating sources
+        rows.append((i, _good_text(i), "en", f"s{i % 2}", 100))
+    for i in range(100, 105):  # exact duplicates of doc 0 (same text)
+        rows.append((i, _good_text(0), "en", "s0", 100))
+    for i in range(200, 205):  # junk: fails the quality floor
+        rows.append((i, "!!! ??? ###", "en", "s0", 10))
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(path)
+    return path
+
+
+def test_curate_job_end_to_end(spark, curate_input, tmp_path):
+    from jobs.curate import main
+
+    out_dir = str(tmp_path / "curated")
+    rc = main([
+        "--input", curate_input, "--output", out_dir,
+        "--mixture", json.dumps({"s0": 1.0}),
+        "--pack-budget", "64", "--pack-shards", "4",
+    ])
+    assert rc == 0
+
+    manifest = json.loads(
+        open(os.path.join(out_dir, "_curate_manifest.json")).read()
+    )
+    assert manifest["n_input"] == 40
+    assert manifest["reasons"]["quality"] == 5
+    assert manifest["n_after_filter"] == 35
+    # 5 exact duplicates of doc 0 collapse onto the representative
+    assert manifest["n_after_dedup"] == 30
+    # mixture weight 1.0 for s0, s1 absent -> only the 15 s0 good docs
+    assert manifest["n_curated"] == 15
+
+    out = spark.read.parquet(out_dir)
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == list(
+        range(0, 30, 2)
+    )
+    assert {"pack_id", "pack_offset"} <= set(out.columns)
+    # every pack offset respects the budget
+    assert out.filter("pack_offset < 0 OR pack_offset >= 64").count() == 0
+
+
+def test_curate_job_no_mixture_no_pack(spark, curate_input, tmp_path):
+    from jobs.curate import main
+
+    out_dir = str(tmp_path / "curated2")
+    rc = main(["--input", curate_input, "--output", out_dir,
+               "--pack-budget", "0"])
+    assert rc == 0
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 30
+    assert "pack_id" not in out.columns
