@@ -441,6 +441,22 @@ def q_tfidf_topk(spark, sf_dir):
     return textops.tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def q_uniform_sample(spark, sf_dir):
+    """Global exact-n uniform sample as distributed TakeOrdered on the
+    md5 hash (no global sort, no single-partition window)."""
+    from kgspark.sampling import uniform_sample
+
+    return uniform_sample(_docs(spark, sf_dir), n=100)
+
+
+def q_assign_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment — one codegen CASE on the
+    integer hash, zero shuffle."""
+    from kgspark.sampling import assign_splits
+
+    return assign_splits(_docs(spark, sf_dir)).select("doc_id", "source", "split")
+
+
 def q_dup_ngram_spans(spark, sf_dir):
     """Substring-level dedup signal: maximal word spans covered by 8-grams
     occurring in >= 2 distinct documents."""
@@ -826,8 +842,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order == driver adjudication order, and the driver stops at ~50
-    # entries (CORRECTNESS_r03 recorded exactly the first 50 of 54): the
-    # least-proven queries (codec/resize work, ANN recall, IVF) sit early;
+    # entries (CORRECTNESS_r03 recorded exactly the first 50 of the 54 then
+    # registered; 65 now, so the tail is adjudicated locally instead): the
+    # least-proven queries (round-4 curation ops, codec/resize work, ANN
+    # recall, IVF) sit early;
     # the tail holds queries green for 2-3 rounds whose kernels are also
     # exercised by earlier entries (url_host_stats covers url_normalize;
     # ann_lsh_recall runs the same operator as ann_lsh_bucketed plus the
@@ -853,6 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples": q_triples,
         "mixture_sample": q_mixture_sample,
         "stratified_sample": q_stratified_sample,
+        "uniform_sample": q_uniform_sample,
+        "assign_splits": q_assign_splits,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_topk": q_tfidf_topk,
         "dup_ngram_spans": q_dup_ngram_spans,
@@ -937,6 +957,8 @@ def oracle_sql() -> dict[str, str]:
         "vocabulary_stats": oracles.q_vocabulary_stats(k=100),
         "mixture_sample": oracles.q_mixture_sample(),
         "stratified_sample": oracles.q_stratified_sample(k=7),
+        "uniform_sample": oracles.q_uniform_sample(n=100),
+        "assign_splits": oracles.q_assign_splits(),
         "unigram_logprob": oracles.q_unigram_logprob(),
         "tfidf_topk": oracles.q_tfidf_topk(k=5),
         "dup_ngram_spans": oracles.q_dup_ngram_spans(n=8, min_docs=2),

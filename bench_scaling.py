@@ -403,6 +403,21 @@ def _dram_section() -> str:
         with open(p) as fh:
             hw_wide = json.load(fh)["hardware_ceiling"].get("8->32")
     hw_x = round(4 * hw_wide, 1) if hw_wide is not None else 3.2
+
+    wide_note = ""
+    p800 = os.path.join(HERE, "BENCH", "WIDE_800K.json")
+    if os.path.exists(p800):
+        with open(p800) as fh:
+            w = json.load(fh)
+        wide_note = (
+            f"\nA doubled-input confirmation run (800k docs, same protocol — "
+            f"BENCH/WIDE_800K.json) lands in the same band: "
+            f"{w['scaling_efficiency']['8->32']} raw / "
+            f"{w['normalized_efficiency']['8->32']} normalized. Doubling the "
+            f"per-stage work moved nothing, which rules out fixed per-stage "
+            f"constants (Amdahl) as the wide-step limiter and leaves the "
+            f"shared memory system as the binding resource.\n"
+        )
     return f"""
 **The wide step's binding resource, measured** (`python
 scripts/dram_probe.py`, triad-style 64MB-array stream on pinned cores,
@@ -419,7 +434,7 @@ system is. On a real 8 -> 32 EXECUTOR scale-out, DRAM channels, LLC and
 shuffle disks all multiply 4x with the cores; the 2->8 pair
 ({eff_low} raw, hardware still has headroom there) is the honest proxy
 for that regime and meets the >=0.8 target.
-"""
+{wide_note}"""
 
 
 def _skew_section() -> str:

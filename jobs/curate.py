@@ -68,12 +68,22 @@ def main(argv: list[str] | None = None) -> int:
         .when(~stats["gopher_keep"], F.lit("repetition"))
         .otherwise(F.lit("ok"))
     )
-    gated = docs.withColumn("_reason", reason)
-    reasons = {
-        r["_reason"]: r["n"]
-        for r in gated.groupBy("_reason").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    n_input = sum(reasons.values())
+    # the reason breakdown rides the pipeline's own first action via
+    # Observation (a CollectMetrics node in the plan) — NOT a separate
+    # groupBy pass: at 100 TB the regexp-heavy gate is the most expensive
+    # projection in the job and must run exactly once.
+    from pyspark.sql import Observation
+
+    obs = Observation("gate_reasons")
+    reason_names = ["lang", "quality", "repetition", "ok"]
+    gated = docs.withColumn("_reason", reason).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        *[
+            F.sum((F.col("_reason") == r).cast("long")).alias(r)
+            for r in reason_names
+        ],
+    )
     kept = gated.filter(F.col("_reason") == "ok").drop("_reason")
 
     # --- stage 2: exact dedup — keep the min-id representative ---
@@ -108,11 +118,13 @@ def main(argv: list[str] | None = None) -> int:
         out = curated
     out.write.mode("overwrite").parquet(args.output)
 
+    gate = obs.get  # filled by the first downstream action (n_dedup count)
+    reasons = {r: gate[r] for r in reason_names if gate[r]}
     manifest = {
         "wall_sec": round(time.time() - t0, 1),
-        "n_input": n_input,
+        "n_input": gate["n_input"],
         "reasons": {k: v for k, v in sorted(reasons.items())},
-        "n_after_filter": reasons.get("ok", 0),
+        "n_after_filter": gate["ok"],
         "n_after_dedup": n_dedup,
         "n_curated": n_curated,
         "mixture": bool(args.mixture),

@@ -1396,3 +1396,26 @@ def q_dup_ngram_spans(n: int = 8, min_docs: int = 2) -> str:
 SELECT doc_id, min(start_idx) AS span_start, max(start_idx) + {n - 1} AS span_end,
   count(*) AS n_grams
 FROM isl GROUP BY doc_id, island"""
+
+
+def q_uniform_sample(n: int = 100) -> str:
+    return f"""WITH h AS (SELECT doc_id,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+  FROM documents)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY hv, doc_id) AS INT) AS rank
+FROM h ORDER BY hv, doc_id LIMIT {n}"""
+
+
+def q_assign_splits() -> str:
+    from kgspark.sampling import HASH_SPACE
+
+    fracs = [("train", 0.98), ("val", 0.01), ("test", 0.01)]
+    cum, whens = 0.0, []
+    for name, frac in fracs[:-1]:
+        cum += frac
+        whens.append(f"WHEN hv < {int(cum * HASH_SPACE)} THEN '{name}'")
+    chain = " ".join(whens)
+    return f"""WITH h AS (SELECT doc_id, source,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+  FROM documents)
+SELECT doc_id, source, CASE {chain} ELSE '{fracs[-1][0]}' END AS split FROM h"""

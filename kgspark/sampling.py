@@ -64,6 +64,54 @@ def mixture_sample(
     )
 
 
+def uniform_sample(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly min(n, |df|) rows, uniform over the corpus, deterministic.
+
+    Global top-n by md5 hash: compiles to TakeOrderedAndProject — each
+    partition keeps its local top-n and the driver merges, so no global
+    sort and no single-partition window. Scale-sane for n into the
+    millions; beyond that, thin with ``mixture_sample``-style hash
+    thresholds first. Returns (id, rank) with rank 1..n.
+    """
+    h = _hash64_expr(F.col(id_col).cast("string")).alias("_h")
+    picked = df.select(F.col(id_col), h).orderBy("_h", id_col).limit(n)
+    # rank assignment runs on <= n rows (one partition of the LIMIT result)
+    w = Window.orderBy("_h", id_col)
+    return picked.withColumn("rank", F.row_number().over(w)).select(id_col, "rank")
+
+
+def assign_splits(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one extra column, no
+    shuffle, no RNG state. Cumulative INTEGER hash thresholds in the
+    dict's insertion order; any hash tail beyond the last threshold
+    (fractions summing < 1) falls into the last split.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    names = list(fractions)
+    h = _hash64_expr(F.col(id_col).cast("string"))
+    cum = 0.0
+    expr = F.lit(names[-1])
+    # build the CASE from the right so earlier splits take precedence
+    bounds = []
+    for name, frac in fractions.items():
+        cum += frac
+        bounds.append((name, int(cum * HASH_SPACE)))
+    for name, bound in reversed(bounds[:-1]):
+        expr = F.when(h < bound, F.lit(name)).otherwise(expr)
+    # first split owns [0, bound_0): the when-chain above already orders
+    # them, since each earlier bound is smaller
+    return df.withColumn(split_col, expr)
+
+
 def stratified_sample(
     df: DataFrame,
     k: int,

@@ -198,6 +198,19 @@ def main() -> int:
         (f"stratified_sample has exactly 2 exchanges (found {n_ex})",
          n_ex == 2, p))
 
+    # 14b. global uniform sample: must compile to TakeOrderedAndProject
+    # (per-partition top-n + driver merge), never a global Sort
+    p = plan_of(entrymod.q_uniform_sample(spark, SF))
+    sections.append(("uniform_sample", p))
+    checks.append(("uniform_sample is TakeOrderedAndProject (no global sort)",
+                   "TakeOrderedAndProject" in p, p))
+
+    # 14c. split assignment: one codegen CASE, zero shuffle, zero UDF
+    p = plan_of(entrymod.q_assign_splits(spark, SF))
+    sections.append(("assign_splits", p))
+    checks.append(("assign_splits has no shuffle and no UDF",
+                   "Exchange" not in p and "EvalPython" not in p, p))
+
     # 15. duplicated n-gram spans: equi-join against the duplicate-hash
     # set (no cartesian), duplicate detection as partial+final aggregate
     p = plan_of(entrymod.q_dup_ngram_spans(spark, SF))

@@ -123,3 +123,32 @@ def test_dup_ngram_spans_merges_nearby(spark):
     # doc1: dup starts at 1 and 10 (distance 9 > n=8 -> separate spans)
     assert (1, 1, 8, 1) in got and (1, 10, 17, 1) in got
     assert (2, 1, 8, 1) in got
+
+
+def test_uniform_sample_exact_n_and_deterministic(docs, spark):
+    from kgspark.sampling import uniform_sample
+
+    out = uniform_sample(docs, n=25)
+    rows = rows_as_tuples(out, "doc_id", "rank")
+    assert len(rows) == 25
+    assert sorted(r[1] for r in rows) == list(range(1, 26))
+    again = uniform_sample(docs, n=25)
+    assert rows == rows_as_tuples(again, "doc_id", "rank")
+    # n beyond the corpus returns everything
+    assert uniform_sample(docs, n=10_000).count() == 400
+
+
+def test_assign_splits_partitions_every_row(docs):
+    from kgspark.sampling import assign_splits
+
+    out = assign_splits(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 400
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+    # same doc always lands in the same split
+    again = assign_splits(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert rows_as_tuples(out, "doc_id", "split") == rows_as_tuples(
+        again, "doc_id", "split"
+    )
