@@ -441,6 +441,25 @@ def q_tfidf_topk(spark, sf_dir):
     return textops.tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def q_pack_chunks(spark, sf_dir):
+    """Materialized pack layout: boundary-straddling docs split into
+    per-pack token ranges (integer explode from the shard window)."""
+    return textops.pack_chunks(_docs(spark, sf_dir), budget=2048, n_shards=8)
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding store;
+    qvec emitted as a pipe-joined signature for the value-hash compare."""
+    from kgspark.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_load(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale",
+        F.array_join(F.transform(F.col("qvec"), lambda x: x.cast("string")), "|")
+        .alias("qsig"),
+    )
+
+
 def q_uniform_sample(spark, sf_dir):
     """Global exact-n uniform sample as distributed TakeOrdered on the
     md5 hash (no global sort, no single-partition window)."""
@@ -873,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "uniform_sample": q_uniform_sample,
         "assign_splits": q_assign_splits,
+        "pack_chunks": q_pack_chunks,
+        "quantize_embeddings": q_quantize_embeddings,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_topk": q_tfidf_topk,
         "dup_ngram_spans": q_dup_ngram_spans,
@@ -959,6 +980,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": oracles.q_stratified_sample(k=7),
         "uniform_sample": oracles.q_uniform_sample(n=100),
         "assign_splits": oracles.q_assign_splits(),
+        "pack_chunks": oracles.q_pack_chunks(budget=2048, n_shards=8),
+        "quantize_embeddings": oracles.q_quantize_embeddings(),
         "unigram_logprob": oracles.q_unigram_logprob(),
         "tfidf_topk": oracles.q_tfidf_topk(k=5),
         "dup_ngram_spans": oracles.q_dup_ngram_spans(n=8, min_docs=2),

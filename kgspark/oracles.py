@@ -1419,3 +1419,38 @@ def q_assign_splits() -> str:
     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
   FROM documents)
 SELECT doc_id, source, CASE {chain} ELSE '{fracs[-1][0]}' END AS split FROM h"""
+
+
+def q_pack_chunks(budget: int = 2048, n_shards: int = 8) -> str:
+    """pack_sequences' materialized twin: boundary-straddling documents
+    split into per-pack [tok_from, tok_to) chunks."""
+    return rf"""WITH t AS (SELECT doc_id, doc_id % {n_shards} AS shard,
+    len(string_split_regex(text, '\s+')) AS n_tokens FROM documents),
+  c AS (SELECT *,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t),
+  e AS (SELECT doc_id, shard, n_tokens, start,
+          unnest(generate_series(CAST(start // {budget} AS BIGINT),
+                                 CAST((start + n_tokens - 1) // {budget} AS BIGINT))) AS p
+        FROM c WHERE n_tokens > 0)
+SELECT doc_id, shard, CAST(p AS BIGINT) AS pack_id,
+  CAST(greatest(p * {budget} - start, 0) AS BIGINT) AS tok_from,
+  CAST(least((p + 1) * {budget} - start, n_tokens) AS BIGINT) AS tok_to
+FROM e"""
+
+
+def q_quantize_embeddings() -> str:
+    """Mirror of similarity.quantize_embeddings: floor(x*scale + 0.5) on
+    IEEE doubles is bit-deterministic across engines (round() is not)."""
+    return """WITH m AS (SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings),
+  s AS (SELECT vec_id, embedding,
+          CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+        FROM m)
+SELECT vec_id, round(scale, 6) AS scale,
+  array_to_string(list_transform(embedding,
+    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT) AS VARCHAR)),
+    '|') AS qsig
+FROM s"""

@@ -582,3 +582,31 @@ def embedding_near_duplicates(
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: (vec_id, scale, qvec).
+
+    The standard 4x storage/bandwidth reduction for a crawl-scale
+    embedding store (dot products stay proportional under per-vector
+    symmetric scaling). scale = 127/max|x|; q_i = floor(x_i*scale + 0.5)
+    — floor(+0.5) instead of round() because Java and libm round()
+    disagree on half-way cases across engines, while floor of IEEE
+    products is bit-deterministic everywhere. All-zero vectors quantize
+    to zeros with scale 0. Pure column expressions, zero shuffle.
+    """
+    vec = F.col(vec_col)
+    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    q = F.transform(
+        vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int")
+    )
+    return embeddings.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        q.alias("qvec"),
+    )

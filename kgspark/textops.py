@@ -250,8 +250,10 @@ def tfidf_topk(df, k: int = 5, text_col: str = "text", id_col: str = "doc_id"):
 # them at materialization; the assignment itself is what we compute).
 # One window cumsum per shard: shards ARE the parallelism, so the sort is
 # shard-local and the shuffle is a single hash exchange on shard.
-def pack_sequences(df, budget: int = 2048, n_shards: int = 8,
-                   id_col: str = "doc_id", text_col: str = "text"):
+def _pack_starts(df, n_shards: int, id_col: str, text_col: str):
+    """(id, shard, n_tokens, start): each document's start offset in its
+    shard's contiguous token stream — the shared base of pack_sequences
+    and pack_chunks. One shard-keyed exchange; shards are the parallelism."""
     from pyspark.sql import Window
 
     shard = (F.col(id_col) % n_shards).alias("shard")
@@ -260,16 +262,49 @@ def pack_sequences(df, budget: int = 2048, n_shards: int = 8,
     w = (Window.partitionBy("shard").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum("n_tokens").over(w)
-    # Pure integer arithmetic with explicit BIGINT on both outputs: the
-    # DuckDB oracle's SUM() OVER yields HUGEINT and a float-floor pack_id
-    # hashed differently under a strict driver normalizer (round-3 red cell).
+    # Pure integer arithmetic with explicit BIGINT: the DuckDB oracle's
+    # SUM() OVER yields HUGEINT and a float-floor pack_id hashed
+    # differently under a strict driver normalizer (round-3 red cell).
     start = (cum - F.col("n_tokens")).cast("long")
-    return base.select(
-        id_col, "shard", "n_tokens", start.alias("start"),
-    ).select(
+    return base.select(id_col, "shard", "n_tokens", start.alias("start"))
+
+
+def pack_sequences(df, budget: int = 2048, n_shards: int = 8,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    return _pack_starts(df, n_shards, id_col, text_col).select(
         id_col, "shard", "n_tokens",
         F.expr(f"start DIV {budget}").cast("long").alias("pack_id"),
         (F.col("start") % budget).cast("long").alias("pack_offset"),
+    )
+
+
+def pack_chunks(df, budget: int = 2048, n_shards: int = 8,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """Materialize the pack layout: one row per (document, pack) CHUNK.
+
+    ``pack_sequences`` assigns each document to the pack containing its
+    start; real pipelines then SPLIT boundary-straddling documents at
+    materialization. This emits the splits: a document spanning packs
+    p..q yields q-p+1 chunks with 0-based token ranges
+    ``[tok_from, tok_to)`` within the document. Per-row fan-out is
+    ceil(n_tokens/budget)+1, bounded by the longest document — the same
+    skew shape as segmentation, broken the same way (chunks explode from
+    the shard-windowed row, all integer arithmetic, no second shuffle).
+    """
+    first = F.expr(f"start DIV {budget}")
+    last = F.expr(f"(start + n_tokens - 1) DIV {budget}")
+    chunk = F.explode(F.sequence(first, last)).alias("pack_id")
+    base = _pack_starts(df, n_shards, id_col, text_col).filter(
+        F.col("n_tokens") > 0
+    )
+    p = F.col("pack_id")
+    tok_from = F.greatest(p * budget - F.col("start"), F.lit(0))
+    tok_to = F.least((p + 1) * budget - F.col("start"), F.col("n_tokens"))
+    return base.select(id_col, "shard", "n_tokens", "start", chunk).select(
+        id_col, "shard",
+        p.cast("long").alias("pack_id"),
+        tok_from.cast("long").alias("tok_from"),
+        tok_to.cast("long").alias("tok_to"),
     )
 
 

@@ -152,3 +152,50 @@ def test_assign_splits_partitions_every_row(docs):
     assert rows_as_tuples(out, "doc_id", "split") == rows_as_tuples(
         again, "doc_id", "split"
     )
+
+
+def test_pack_chunks_tile_each_document(spark):
+    from kgspark.textops import pack_chunks, pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, " ".join(["w"] * 5)), (8, " ".join(["w"] * 9)), (16, "")],
+        "doc_id long, text string",
+    )
+    # budget 4, one shard: doc0 tokens [0,5) -> packs 0,1; doc8 starts at 5
+    # -> packs 1,2,3; doc16 empty -> split('') yields one token '' (the
+    # pack_sequences convention), so it lands one chunk
+    out = pack_chunks(df, budget=4, n_shards=1)
+    got = rows_as_tuples(out, "doc_id", "pack_id", "tok_from", "tok_to")
+    assert got == [
+        (0, 0, 0, 4), (0, 1, 4, 5),
+        (8, 1, 0, 3), (8, 2, 3, 7), (8, 3, 7, 9),
+        (16, 3, 0, 1),
+    ]
+    # chunks tile each document exactly: sum of ranges == n_tokens, and
+    # every doc's first chunk starts at 0
+    sums = {r["doc_id"]: r["s"] for r in out.groupBy("doc_id")
+            .agg(F.sum(F.col("tok_to") - F.col("tok_from")).alias("s")).collect()}
+    packs = {r["doc_id"]: (r["n_tokens"], r["pack_id"]) for r in
+             pack_sequences(df, budget=4, n_shards=1).collect()}
+    for doc, (n_tok, first_pack) in packs.items():
+        assert sums[doc] == n_tok
+        # pack_sequences' assigned pack == the doc's FIRST chunk pack
+        assert min(p for d, p, f, t in got if d == doc) == first_pack
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    from kgspark.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[1]["qvec"] == [127, -63, 32, 0]  # floor(x*127 + 0.5)
+    assert rows[1]["scale"] == 127.0
+    assert rows[2]["qvec"] == [0, 0, 0, 0] and rows[2]["scale"] == 0.0
+    # dequantized error bounded by half a step
+    step = 1.0 / 127.0
+    deq = [q / 127.0 for q in rows[1]["qvec"]]
+    for x, xq in zip([1.0, -0.5, 0.25, 0.0], deq):
+        assert abs(x - xq) <= step / 2 + 1e-12
