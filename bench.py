@@ -115,9 +115,13 @@ def main() -> None:
         "nation_revenue",
         "mixture_sample",
         "stratified_sample",
+        "uniform_sample",
+        "assign_splits",
         "unigram_logprob",
         "tfidf_topk",
         "dup_ngram_spans",
+        "pack_chunks",
+        "quantize_embeddings",
     ]:
         # warm pass (codegen/scan-cache), then 2 measured passes, report the
         # min — single-pass timings on this VM record 30-40% host-CPU swings
