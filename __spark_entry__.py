@@ -862,7 +862,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order == driver adjudication order, and the driver stops at ~50
     # entries (CORRECTNESS_r03 recorded exactly the first 50 of the 54 then
-    # registered; 65 now, so the tail is adjudicated locally instead): the
+    # registered; 67 now, so the tail is adjudicated locally instead): the
     # least-proven queries (round-4 curation ops, codec/resize work, ANN
     # recall, IVF) sit early;
     # the tail holds queries green for 2-3 rounds whose kernels are also

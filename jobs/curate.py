@@ -84,7 +84,12 @@ def main(argv: list[str] | None = None) -> int:
             for r in reason_names
         ],
     )
-    kept = gated.filter(F.col("_reason") == "ok").drop("_reason")
+    # persist: the dedup stage consumes `kept` TWICE (the fingerprint
+    # branch and the join-back branch) — without the cache the regexp
+    # gate re-executes per branch, exactly the double pass the
+    # Observation exists to avoid. At 10^12 docs swap the persist for a
+    # stage checkpoint (lineage.StageRunner) as run_pipeline does.
+    kept = gated.filter(F.col("_reason") == "ok").drop("_reason").persist()
 
     # --- stage 2: exact dedup — keep the min-id representative ---
     from kgspark.dedup import exact_duplicates

@@ -493,6 +493,11 @@ def simhash_near_duplicates(
 # past the map side), one equi-join of (doc, start, hash) against the
 # surviving duplicate hashes (AQE-broadcast when few survive), then a
 # doc-keyed window for the gaps-and-islands merge — bounded partitions.
+# The per-op cost is md5 throughput (one digest per token position) —
+# linear, partition-parallel, no skew. The standard refinement when even
+# that is too hot is winnowing: hash only the per-window-minimal n-grams
+# (sample 2/(w+1) of positions) at the cost of span-boundary resolution;
+# kept out because the oracle contract here pins EXACT span arithmetic.
 def dup_ngram_spans(
     df: DataFrame,
     n: int = 8,
