@@ -211,6 +211,14 @@ def main() -> int:
     checks.append(("assign_splits has no shuffle and no UDF",
                    "Exchange" not in p and "EvalPython" not in p, p))
 
+    # 14d. pack materialization: the chunk explode must reuse the single
+    # shard-keyed exchange (no second shuffle for the fan-out)
+    p = plan_of(entrymod.q_pack_chunks(spark, SF))
+    sections.append(("pack_chunks", p))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    checks.append(
+        (f"pack_chunks has exactly 1 exchange (found {n_ex})", n_ex == 1, p))
+
     # 15. duplicated n-gram spans: equi-join against the duplicate-hash
     # set (no cartesian), duplicate detection as partial+final aggregate
     p = plan_of(entrymod.q_dup_ngram_spans(spark, SF))
