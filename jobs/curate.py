@@ -10,6 +10,10 @@ Composes the curation operators into the production corpus pass:
 
     quality gate (lang -> quality -> repetition, first-failing reason)
       -> exact dedup (md5 fingerprint, min-id representative)
+      -> optional substring-level dedup (--max-dup-span-frac: drop docs
+         whose duplicated n-gram spans cover too much of their tokens)
+      -> optional per-source cap (--per-source-cap: exact k per source,
+         two-level salted top-k)
       -> optional domain-mixture thinning (deterministic integer-hash
          Bernoulli per source — zero shuffle, reproducible)
       -> optional sequence packing (token-budget pack assignment)
@@ -42,6 +46,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pack-budget", type=int, default=2048,
                     help="token budget per pack; 0 disables packing")
     ap.add_argument("--pack-shards", type=int, default=64)
+    ap.add_argument("--max-dup-span-frac", type=float, default=None,
+                    help="drop docs whose duplicated n-gram spans cover "
+                         "more than this fraction of their tokens")
+    ap.add_argument("--dup-ngram", type=int, default=8)
+    ap.add_argument("--per-source-cap", type=int, default=None,
+                    help="keep at most this many (uniform, deterministic) "
+                         "docs per source")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession, functions as F
@@ -100,6 +111,45 @@ def main(argv: list[str] | None = None) -> int:
     )
     n_dedup = deduped.count()
 
+    # --- stage 2b: optional substring-level dedup — drop documents whose
+    # duplicated-span coverage exceeds the threshold (boilerplate-heavy
+    # pages that exact dedup cannot see) ---
+    n_spandedup = None
+    if args.max_dup_span_frac is not None:
+        from kgspark.dedup import dup_ngram_spans
+        from kgspark.textops import token_count
+
+        deduped = deduped.persist()
+        spans = dup_ngram_spans(
+            deduped, n=args.dup_ngram, min_docs=2,
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        covered = spans.groupBy(args.id_col).agg(
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias("_dup_toks")
+        )
+        frac = F.col("_dup_toks") / token_count(F.col(args.text_col))
+        deduped = (
+            deduped.join(covered, args.id_col, "left")
+            .filter(
+                F.col("_dup_toks").isNull() | (frac <= args.max_dup_span_frac)
+            )
+            .drop("_dup_toks")
+        )
+        n_spandedup = deduped.count()
+
+    # --- stage 2c: optional per-source cap — at most k docs per source
+    # (two-level salted top-k: no whole-source-in-one-task skew) ---
+    n_capped = None
+    if args.per_source_cap:
+        from kgspark.sampling import stratified_sample
+
+        picked = stratified_sample(
+            deduped, k=args.per_source_cap,
+            id_col=args.id_col, stratum_col=args.source_col,
+        ).select(args.id_col)
+        deduped = deduped.join(picked, args.id_col)
+        n_capped = deduped.count()
+
     # --- stage 3: optional mixture thinning ---
     if args.mixture:
         weights = json.loads(args.mixture)
@@ -135,6 +185,10 @@ def main(argv: list[str] | None = None) -> int:
         "mixture": bool(args.mixture),
         "pack_budget": args.pack_budget,
     }
+    if n_spandedup is not None:
+        manifest["n_after_span_dedup"] = n_spandedup
+    if n_capped is not None:
+        manifest["n_after_source_cap"] = n_capped
     write_manifest(spark, f"{args.output}/_curate_manifest.json", manifest)
     print(json.dumps(manifest))
     return 0

@@ -74,3 +74,40 @@ def test_curate_job_no_mixture_no_pack(spark, curate_input, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 30
     assert "pack_id" not in out.columns
+
+
+def test_curate_job_span_dedup_and_source_cap(spark, tmp_path):
+    from jobs.curate import main
+
+    def distinct_doc(i):
+        return " ".join(f"w{i}x{j}" for j in range(60))
+
+    boiler = " ".join(f"bb{j}" for j in range(70))
+    rows = [(i, distinct_doc(i), "en", f"s{i % 2}", 100) for i in range(20)]
+    # two boilerplate-heavy docs: 60 unique words + a 70-word shared block
+    # -> duplicated spans cover ~54% of their tokens
+    rows.append((300, f"{distinct_doc(300)} {boiler}", "en", "s0", 100))
+    rows.append((301, f"{distinct_doc(301)} {boiler}", "en", "s1", 100))
+    inp = str(tmp_path / "docs2.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(inp)
+
+    out_dir = str(tmp_path / "curated3")
+    rc = main([
+        "--input", inp, "--output", out_dir,
+        "--max-dup-span-frac", "0.5", "--per-source-cap", "5",
+        "--pack-budget", "0",
+    ])
+    assert rc == 0
+    manifest = json.loads(
+        open(os.path.join(out_dir, "_curate_manifest.json")).read()
+    )
+    assert manifest["n_input"] == 22
+    assert manifest["n_after_dedup"] == 22      # all texts distinct
+    assert manifest["n_after_span_dedup"] == 20  # both boilerplate docs out
+    assert manifest["n_after_source_cap"] == 10  # 5 per source
+    out = spark.read.parquet(out_dir)
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts == {"s0": 5, "s1": 5}
+    assert out.filter("doc_id >= 300").count() == 0
