@@ -460,6 +460,37 @@ def q_quantize_embeddings(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """S-source for the webtext axis: documents -> WARC/1.0 container
+    files (one per task) -> distributed per-file record scan -> payloads.
+    A green hash proves the writer/parser invert on real container bytes
+    (same proof shape as the media codecs)."""
+    import os
+    import shutil
+    import tempfile
+
+    from kgspark.warc import read_warc, write_warc
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .repartition(4)
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.lit("2026-01-01T00:00:00Z").alias("warc_ts"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), "kgspark-warc-roundtrip")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc(docs, out_dir)
+    back = read_warc(spark, out_dir)
+    return back.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("text"),
+    )
+
+
 def q_uniform_sample(spark, sf_dir):
     """Global exact-n uniform sample as distributed TakeOrdered on the
     md5 hash (no global sort, no single-partition window)."""
@@ -894,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_splits": q_assign_splits,
         "pack_chunks": q_pack_chunks,
         "quantize_embeddings": q_quantize_embeddings,
+        "warc_roundtrip": q_warc_roundtrip,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_topk": q_tfidf_topk,
         "dup_ngram_spans": q_dup_ngram_spans,
@@ -982,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         "assign_splits": oracles.q_assign_splits(),
         "pack_chunks": oracles.q_pack_chunks(budget=2048, n_shards=8),
         "quantize_embeddings": oracles.q_quantize_embeddings(),
+        "warc_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 100",
         "unigram_logprob": oracles.q_unigram_logprob(),
         "tfidf_topk": oracles.q_tfidf_topk(k=5),
         "dup_ngram_spans": oracles.q_dup_ngram_spans(n=8, min_docs=2),
