@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--confidence", type=float, default=0.35)
     ap.add_argument("--min-support", type=int, default=20)
     ap.add_argument("--rebalance-segments", action="store_true")
+    ap.add_argument("--input-format", choices=["parquet", "warc"],
+                    default="parquet",
+                    help="'warc' ingests WARC/1.0 archives natively "
+                         "(response records -> url/warc_ts/html)")
     ap.add_argument("--no-html", action="store_true",
                     help="input already has extracted text")
     ap.add_argument("--redirects-preclosed", action="store_true",
@@ -54,7 +58,22 @@ def main(argv: list[str] | None = None) -> int:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
-    docs = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from pyspark.sql import functions as F
+
+        from kgspark.warc import read_warc
+
+        docs = (
+            read_warc(spark, args.input)
+            .filter(F.col("record_type") == "response")
+            .select(
+                "url",
+                F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+                F.col("payload").alias("html"),
+            )
+        )
+    else:
+        docs = spark.read.parquet(args.input)
     # Schema-driven defaults so the bare invocation works on any documents
     # table: inputs without an `html` column are already extracted text, and
     # the id column falls back to `doc_id` when the default `url` is absent.

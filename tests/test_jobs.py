@@ -111,3 +111,31 @@ def test_curate_job_span_dedup_and_source_cap(spark, tmp_path):
     counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
     assert counts == {"s0": 5, "s1": 5}
     assert out.filter("doc_id >= 300").count() == 0
+
+
+def test_kg_construct_from_warc_archive(spark, tmp_path):
+    """Crawl wire-format to triples in one job: synth html pages packed
+    into WARC files, ingested with --input-format warc."""
+    from pyspark.sql import functions as F
+
+    from jobs.kg_construct import main
+    from kgspark import synth
+    from kgspark.warc import write_warc
+
+    docs = synth.synth_documents(spark, n_docs=40).select(
+        F.col("url"),
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        F.col("html").alias("payload"),
+    ).repartition(3)
+    warc_dir = str(tmp_path / "crawl")
+    write_warc(docs, warc_dir)
+
+    out_dir = str(tmp_path / "triples")
+    rc = main([
+        "--input", warc_dir, "--output", out_dir,
+        "--input-format", "warc", "--checkpoint", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    triples = spark.read.parquet(out_dir)
+    assert triples.count() > 0
+    assert set(triples.columns) >= {"subj", "obj"}
