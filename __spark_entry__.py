@@ -460,6 +460,41 @@ def q_quantize_embeddings(spark, sf_dir):
     )
 
 
+def q_cwb_compressed(spark, sf_dir):
+    """S3 compressed path: documents -> huffcode CWB binary triple
+    (.hcd/.huf/.huf.syn, NO .corpus) -> distributed sync-block decode ->
+    reassembled text. A green hash proves the canonical-Huffman
+    encoder/decoder invert on real on-disk bytes (kgspark/cwb.py;
+    reference path R/dbpedia.R:798-811 with no cwb-decompress step).
+    The fixture build collects 60 docs on the driver — a bounded,
+    disclosed test-dim build; production corpora arrive as CWB exports."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kgspark.cwb import cwb_documents, write_cwb_corpus
+
+    rows = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="kgspark-cwb-compressed-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    write_cwb_corpus(
+        d,
+        [r["toks"] for r in rows],
+        id_values=[str(r["doc_id"]) for r in rows],
+        compressed=True,
+    )
+    out = cwb_documents(spark, d, id_value="id", parts=8)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"), "text"
+    )
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """S-source for the webtext axis: documents -> WARC/1.0 container
     files (one per task) -> distributed per-file record scan -> payloads.
@@ -481,8 +516,14 @@ def q_warc_roundtrip(spark, sf_dir):
             F.encode("text", "UTF-8").alias("payload"),
         )
     )
-    out_dir = os.path.join(tempfile.gettempdir(), "kgspark-warc-roundtrip")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # per-invocation temp dir: a fixed shared path lets two concurrent
+    # sessions rmtree/rewrite each other's files mid-scan. The returned
+    # DataFrame reads out_dir lazily (the driver collects it after we
+    # return), so cleanup is deferred to interpreter exit.
+    import atexit
+
+    out_dir = tempfile.mkdtemp(prefix="kgspark-warc-roundtrip-")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     write_warc(docs, out_dir)
     back = read_warc(spark, out_dir)
     return back.select(
@@ -925,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_splits": q_assign_splits,
         "pack_chunks": q_pack_chunks,
         "quantize_embeddings": q_quantize_embeddings,
+        "cwb_compressed": q_cwb_compressed,
         "warc_roundtrip": q_warc_roundtrip,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_topk": q_tfidf_topk,
@@ -1014,6 +1056,7 @@ def oracle_sql() -> dict[str, str]:
         "assign_splits": oracles.q_assign_splits(),
         "pack_chunks": oracles.q_pack_chunks(budget=2048, n_shards=8),
         "quantize_embeddings": oracles.q_quantize_embeddings(),
+        "cwb_compressed": "SELECT doc_id, text FROM documents WHERE doc_id < 60",
         "warc_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 100",
         "unigram_logprob": oracles.q_unigram_logprob(),
         "tfidf_topk": oracles.q_tfidf_topk(k=5),

@@ -38,6 +38,14 @@ def main() -> None:
         os.makedirs("/dev/shm/kgspark-bench", exist_ok=True)
         os.environ["KGSPARK_LOCAL_DIR"] = "/dev/shm/kgspark-bench"
 
+    # hardware calibration BEFORE the JVM starts (a fork inside a live-JVM
+    # process is not fork-safe): single-core cache-resident md5 rate. A
+    # contended host is then self-evident in the JSON — compare
+    # calib_md5_per_sec across rounds before comparing query timings.
+    from bench_scaling import hw_calib
+
+    calib_md5_per_sec = round(hw_calib(1))
+
     from kgspark.session import get_spark
     from kgspark import synth
     from kgspark.pipeline import PipelineConfig, release_pipeline_caches, run_pipeline
@@ -86,8 +94,11 @@ def main() -> None:
         return dt
 
     warm_sec = pipeline_pass()  # python-worker spawn + JIT, reported separately
-    pipeline_sec = pipeline_pass()
-    timings["kg_pipeline_e2e"] = round(pipeline_sec, 3)
+    # warm + min-of-2 like every per-query entry below: the single-pass
+    # headline was the noisiest number in the file (round-4 driver recorded
+    # 39.8 s where an idle-host rerun of the same protocol gave 23.7 s).
+    e2e_passes = [round(pipeline_pass(), 3) for _ in range(2)]
+    timings["kg_pipeline_e2e"] = min(e2e_passes)
     timings["kg_pipeline_cold"] = round(warm_sec, 3)
 
     # --- per-operator headline queries on the driver star schema ---
@@ -199,7 +210,9 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "n_docs": n_docs,
-                "docs_per_sec": round(n_docs / pipeline_sec, 1),
+                "docs_per_sec": round(n_docs / timings["kg_pipeline_e2e"], 1),
+                "kg_pipeline_e2e_passes": e2e_passes,
+                "calib_md5_per_sec": calib_md5_per_sec,
             }
         )
     )

@@ -109,17 +109,31 @@ def main(argv: list[str] | None = None) -> int:
     deduped = kept.join(
         reps.filter(~F.col("is_dup")).select(args.id_col), args.id_col
     )
-    n_dedup = deduped.count()
+    # Every per-stage count below rides the job's single terminal action
+    # (the output write) as an Observation, like the gate stage: one
+    # CollectMetrics node per stage boundary instead of an interleaved
+    # .count() action per stage. Frames that are consumed by two branches
+    # are persisted BEFORE the branches split, so block-level cache locking
+    # guarantees each observed partition is computed exactly once.
+    def _count_obs(frame, name):
+        o = Observation(name)
+        return frame.observe(o, F.count(F.lit(1)).alias("n")), o
+
+    deduped, obs_dedup = _count_obs(deduped, "n_after_dedup")
+    if args.max_dup_span_frac is not None or args.per_source_cap:
+        # the next enabled stage consumes deduped in two branches
+        # (fingerprint/sample + join-back): persist above the split so
+        # the observed partitions compute exactly once.
+        deduped = deduped.persist()
 
     # --- stage 2b: optional substring-level dedup — drop documents whose
     # duplicated-span coverage exceeds the threshold (boilerplate-heavy
     # pages that exact dedup cannot see) ---
-    n_spandedup = None
+    obs_span = None
     if args.max_dup_span_frac is not None:
         from kgspark.dedup import dup_ngram_spans
         from kgspark.textops import token_count
 
-        deduped = deduped.persist()
         spans = dup_ngram_spans(
             deduped, n=args.dup_ngram, min_docs=2,
             id_col=args.id_col, text_col=args.text_col,
@@ -135,11 +149,13 @@ def main(argv: list[str] | None = None) -> int:
             )
             .drop("_dup_toks")
         )
-        n_spandedup = deduped.count()
+        deduped, obs_span = _count_obs(deduped, "n_after_span_dedup")
+        if args.per_source_cap:
+            deduped = deduped.persist()  # 2c double-consumes this frame too
 
     # --- stage 2c: optional per-source cap — at most k docs per source
     # (two-level salted top-k: no whole-source-in-one-task skew) ---
-    n_capped = None
+    obs_cap = None
     if args.per_source_cap:
         from kgspark.sampling import stratified_sample
 
@@ -148,7 +164,7 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col, stratum_col=args.source_col,
         ).select(args.id_col)
         deduped = deduped.join(picked, args.id_col)
-        n_capped = deduped.count()
+        deduped, obs_cap = _count_obs(deduped, "n_after_source_cap")
 
     # --- stage 3: optional mixture thinning ---
     if args.mixture:
@@ -158,9 +174,10 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         curated = deduped
-    # cache: packing + the final count + the write all consume it
+    curated, obs_cur = _count_obs(curated, "n_curated")
+    # cache: packing + the write both consume it; the observe above sits
+    # under the persist so its metric fills exactly once.
     curated = curated.persist()
-    n_curated = curated.count()
 
     # --- stage 4: optional pack assignment, joined back onto the docs ---
     if args.pack_budget > 0:
@@ -173,22 +190,24 @@ def main(argv: list[str] | None = None) -> int:
         out = curated
     out.write.mode("overwrite").parquet(args.output)
 
-    gate = obs.get  # filled by the first downstream action (n_dedup count)
-    reasons = {r: gate[r] for r in reason_names if gate[r]}
+    gate = obs.get  # every Observation above was filled by the write action
+    # "reasons" is the DROP-reason breakdown — the kept count is already
+    # recorded as n_after_filter, so "ok" does not belong here.
+    reasons = {r: gate[r] for r in reason_names if r != "ok" and gate[r]}
     manifest = {
         "wall_sec": round(time.time() - t0, 1),
         "n_input": gate["n_input"],
         "reasons": {k: v for k, v in sorted(reasons.items())},
         "n_after_filter": gate["ok"],
-        "n_after_dedup": n_dedup,
-        "n_curated": n_curated,
+        "n_after_dedup": obs_dedup.get["n"],
+        "n_curated": obs_cur.get["n"],
         "mixture": bool(args.mixture),
         "pack_budget": args.pack_budget,
     }
-    if n_spandedup is not None:
-        manifest["n_after_span_dedup"] = n_spandedup
-    if n_capped is not None:
-        manifest["n_after_source_cap"] = n_capped
+    if obs_span is not None:
+        manifest["n_after_span_dedup"] = obs_span.get["n"]
+    if obs_cap is not None:
+        manifest["n_after_source_cap"] = obs_cap.get["n"]
     write_manifest(spark, f"{args.output}/_curate_manifest.json", manifest)
     print(json.dumps(manifest))
     return 0

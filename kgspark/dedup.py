@@ -520,18 +520,37 @@ def dup_ngram_spans(
     # bits — each one a FALSE duplicated span. 15 hex digits (< 2^60) keeps
     # the expected collision count negligible at 10^9 n-grams per shard.
     ngram_hash = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-                lambda i: F.struct(
-                    i.alias("start_idx"),
-                    ngram_hash(F.array_join(F.slice(toks, i, n), " ")).alias("h"),
-                ),
-            )
-        ).alias("g"),
-    ).select(id_col, "g.start_idx", "g.h")
+    # Guard the window count: F.sequence(1, k) with k <= 0 yields a
+    # DESCENDING array (Spark's default step is -1 when stop < start), and
+    # slice(toks, 0, n) then throws INVALID_PARAMETER_VALUE.START — any doc
+    # shorter than n tokens crashed the query. Emit an empty gram array for
+    # short docs instead (the DuckDB oracle's generate_series(1, k<=0) is
+    # already empty, so this also restores engine agreement by construction).
+    n_windows = F.size(toks) - (n - 1)
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    n_windows >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), n_windows),
+                        lambda i: F.struct(
+                            i.alias("start_idx"),
+                            ngram_hash(F.array_join(F.slice(toks, i, n), " ")).alias(
+                                "h"
+                            ),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<start_idx:int,h:long>>"))
+            ).alias("g"),
+        ).select(id_col, "g.start_idx", "g.h")
+        # The explode + per-position md5 is the expensive projection and it
+        # feeds BOTH the duplicate-hash aggregate and the hits join below —
+        # persist so it is computed once per query, exactly as minhash_docs
+        # does for the same double-consumer shape.
+        .persist()
+    )
 
     dup_hashes = (
         grams.groupBy("h")

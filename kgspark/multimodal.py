@@ -362,12 +362,16 @@ def resize_images(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("media_id", "url", "kind", "payload",
-                                   "width", "height", "duration_ms")}
-            for _, row in pdf.iterrows():
-                p = row["payload"]
-                w_out, h_out = row["width"], row["height"]
-                if row["kind"] == "image" and p is not None:
+            # zip over plain column arrays, not pdf.iterrows(): iterrows
+            # constructs a pandas Series per row, which dominates the
+            # per-record overhead. The per-payload codec work is
+            # inherently per-record; the row walk need not be.
+            payloads, widths, heights = [], [], []
+            for kind, p, w_in, h_in in zip(
+                pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                w_out, h_out = w_in, h_in
+                if kind == "image" and p is not None:
                     try:
                         rgb = nn_resize(decode_rgb(bytes(p)), width, height)
                         p = (
@@ -379,14 +383,20 @@ def resize_images(
                     except NotImplementedError:
                         if on_unsupported == "raise":
                             raise
-                out["media_id"].append(row["media_id"])
-                out["url"].append(row["url"])
-                out["kind"].append(row["kind"])
-                out["payload"].append(p)
-                out["width"].append(w_out)
-                out["height"].append(h_out)
-                out["duration_ms"].append(row["duration_ms"])
-            yield pd.DataFrame(out)
+                payloads.append(p)
+                widths.append(w_out)
+                heights.append(h_out)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "url": pdf["url"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "payload": payloads,
+                    "width": widths,
+                    "height": heights,
+                    "duration_ms": pdf["duration_ms"].to_numpy(),
+                }
+            )
 
     return media.mapInPandas(kernel, MEDIA_SCHEMA)
 

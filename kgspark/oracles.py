@@ -1332,9 +1332,12 @@ _TOKS_CTE = (
 def q_mixture_sample() -> str:
     from kgspark.sampling import DEMO_WEIGHTS, HASH_SPACE
 
+    # Thresholds are computed HERE in Python (int() truncates) and embedded
+    # as integer literals — DuckDB's CAST(w * 2^32 AS BIGINT) rounds to
+    # nearest, which is off-by-one vs Spark's int(w * HASH_SPACE) for
+    # weights like 0.8 and 0.05, so a boundary-hash doc would diverge.
     rows = ", ".join(
-        f"('{s}', CAST({w} * {HASH_SPACE} AS BIGINT))"
-        for s, w in sorted(DEMO_WEIGHTS.items())
+        f"('{s}', {int(w * HASH_SPACE)})" for s, w in sorted(DEMO_WEIGHTS.items())
     )
     return f"""WITH th(source, thr) AS (VALUES {rows}),
   h AS (SELECT doc_id, source,

@@ -86,3 +86,42 @@ def test_distributed_slicing_matches_single_partition(spark, tmp_path):
     many = sorted(map(tuple, cwb_token_table(spark, d, parts=7).collect()))
     assert one == many
     assert len(one) == sum(len(x) for x in docs)
+
+
+def test_compressed_corpus_matches_uncompressed(spark, tmp_path):
+    """Huffcode triple (.hcd/.huf/.huf.syn, no .corpus) decodes to the
+    identical token table as the uncompressed layout — the reference path
+    R/dbpedia.R:798-811 covered natively with no cwb-decompress step."""
+    rng = np.random.RandomState(11)
+    docs = [
+        [f"w{rng.zipf(1.6) % 40}" for _ in range(int(rng.randint(3, 50)))]
+        for _ in range(40)
+    ]
+    plain = write_cwb_corpus(str(tmp_path / "plain"), docs)
+    comp = write_cwb_corpus(str(tmp_path / "comp"), docs, compressed=True)
+    import os
+
+    assert not os.path.exists(os.path.join(comp, "word.corpus"))
+    assert os.path.exists(os.path.join(comp, "word.huf"))
+    a = sorted(map(tuple, cwb_token_table(spark, plain, parts=3).collect()))
+    b = sorted(map(tuple, cwb_token_table(spark, comp, parts=3).collect()))
+    assert a == b
+    # sync-block splits need not align with doc boundaries either
+    b5 = sorted(map(tuple, cwb_token_table(spark, comp, parts=5).collect()))
+    assert a == b5
+
+
+def test_compressed_documents_end_to_end(spark, tmp_path):
+    d = write_cwb_corpus(
+        str(tmp_path / "cz"), DOCS, id_values=["d0", "d1", "d2"],
+        compressed=True,
+    )
+    got = {
+        r["doc_id"]: (r["id"], r["text"])
+        for r in cwb_documents(spark, d, id_value="id").collect()
+    }
+    assert got == {
+        0: ("d0", "the quick brown fox"),
+        1: ("d1", "jumps over the lazy dog"),
+        2: ("d2", "the end"),
+    }

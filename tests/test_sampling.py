@@ -125,6 +125,28 @@ def test_dup_ngram_spans_merges_nearby(spark):
     assert (2, 1, 8, 1) in got
 
 
+def test_dup_ngram_spans_short_docs(spark):
+    # Regression: docs with fewer than n tokens used to crash the query —
+    # F.sequence(1, k<=0) yields the DESCENDING array [1, 0] and
+    # slice(toks, 0, n) throws INVALID_PARAMETER_VALUE.START. Short docs
+    # must contribute zero n-grams, matching the oracle's empty
+    # generate_series(1, k<=0).
+    block = " ".join(f"d{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "two words"),
+            (3, ""),
+            (4, f"{block} tail"),
+            (5, f"head {block}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dup_ngram_spans(df, n=8, min_docs=2)
+    got = rows_as_tuples(out, "doc_id", "span_start", "span_end")
+    assert got == [(4, 1, 8), (5, 2, 9)]
+
+
 def test_uniform_sample_exact_n_and_deterministic(docs, spark):
     from kgspark.sampling import uniform_sample
 
