@@ -860,10 +860,16 @@ def q_ann_ivf(spark, sf_dir):
     as literals."""
     emb = _load(spark, sf_dir, "embeddings")
     cents = train_ivf_centroids(emb, n_centroids=16, iters=10, seed=42)
-    # nprobe=4 of 16 cells: scans ~25% of the corpus for measured
-    # recall@5 = 0.68 on the (weakly clustered) synthetic embeddings —
-    # the operating point is data-dependent; nprobe=n_centroids degrades
-    # to exact brute force (pinned by test_ivf_full_probe_is_exact).
+    # nprobe=4 of 16 cells: recall@5 = 0.68 at ~25% scan on the synthetic
+    # embeddings. The full (n_centroids, nprobe) sweep
+    # (scripts/ivf_recall_sweep.py -> BENCH/IVF_RECALL.json) shows recall
+    # tracks scan-fraction nearly 1:1 at EVERY codebook size here — the
+    # synthetic vectors are near-uniform on the sphere, the adversarial
+    # case for any coarse quantizer. On clustered data (what IVF is for)
+    # the same operator measures recall 1.0 probing 1 of 32 cells (~4%
+    # scan) — test-pinned >= 0.9 by
+    # test_ivf_clustered_recall_is_one_at_low_scan; nprobe=n_centroids
+    # degrades to exact brute force (test_ivf_full_probe_is_exact).
     return ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], centroids=cents, k=5, nprobe=4)
 
 

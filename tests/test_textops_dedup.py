@@ -111,6 +111,34 @@ def test_ivf_topk_recall_floor(spark):
     assert recall >= 0.75, recall
 
 
+def test_ivf_clustered_recall_is_one_at_low_scan(spark):
+    """On CLUSTERED embeddings — the data shape IVF exists for — the Spark
+    operator must hit recall@5 = 1.0 while probing 2 of 16 cells (~13% of
+    the corpus). The weakly-clustered star-schema synthetic caps recall at
+    ~scan-fraction (BENCH/IVF_RECALL.json knee curves, round-5 sweep); this
+    pins that the cap is the data, not the operator."""
+    import numpy as np
+
+    from kgspark.similarity import cosine_topk, ivf_topk, train_ivf_centroids
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(16, 16) * 4.0
+    assign = rng.randint(0, 16, size=600)
+    X = centers[assign] + rng.randn(600, 16)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(600)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = train_ivf_centroids(emb, n_centroids=16, iters=8, seed=42)
+    qids = [0, 1, 2, 3, 4]
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, qids, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(emb, qids, cents, k=5, nprobe=2).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.9, recall
+
+
 def test_ivf_full_probe_is_exact(spark):
     """nprobe == n_centroids degrades IVF to exact brute force — the
     candidates cover the whole corpus, so the top-k must equal
