@@ -923,6 +923,29 @@ def q_media_resize(spark, sf_dir):
     )
 
 
+def q_media_png_resize(spark, sf_dir):
+    """PNG real-codec path: id-derived pixels -> zlib-deflated PNG
+    containers -> inflate + unfilter -> integer nearest-neighbor resize
+    -> re-encode as PNG -> decode again for feature stats. The oracle
+    re-derives every resized pixel from the id formulas; a green hash
+    proves the pure-python PNG codec (all five scanline filters, stdlib
+    zlib) inverts itself on real container bytes."""
+    from kgspark.multimodal import codec_media_table, resize_images
+
+    media = codec_media_table(
+        _docs(spark, sf_dir), n=48, image_formats=("png", "png")
+    )
+    resized = resize_images(media.filter(F.col("kind") == "image"), width=4, height=3)
+    feats = extract_features(resized, decode_mode="real")
+    return feats.select(
+        "media_id", "kind",
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: x.cast("bigint").cast("string")),
+            "|",
+        ).alias("feature_sig"),
+    )
+
+
 def q_video_frames(spark, sf_dir):
     media = media_table(_docs(spark, sf_dir), n=48)
     frames = sample_video_frames(media, every_ms=5000)
@@ -982,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_features_real": q_media_features_real,
         "media_resize_real": q_media_resize,
+        "media_png_resize": q_media_png_resize,
         "video_frame_sample": q_video_frames,
         "align_tokens": q_align_tokens,
         "align_tokens_exact": q_align_exact,
@@ -1091,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": oracles.q_media_features(n=48),
         "media_features_real": oracles.q_media_features_real(n=48),
         "media_resize_real": oracles.q_media_resize(n=48, rw=4, rh=3),
+        "media_png_resize": oracles.q_media_resize_png(n=48, rw=4, rh=3),
         "video_frame_sample": oracles.q_video_frames(n=48, every_ms=5000),
         "tei_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 50",
         "ann_lsh_bucketed": oracles.q_ann_lsh(n_tables=8, multiprobe=True),

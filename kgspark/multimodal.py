@@ -15,8 +15,11 @@ through Python row objects. Two decode modes:
   exact in float32, and the synth encoder builds payloads from doc_id
   arithmetic, so the DuckDB oracle re-derives every feature from the same
   formulas WITHOUT touching bytes: a green hash proves decode inverts
-  encode (``media_features_real``). Formats genuinely needing ffmpeg/PIL
-  (mp4/jpeg/mp3 ...) still raise NotImplementedError at the codec seam.
+  encode (``media_features_real``). Real containers covered pure-python:
+  PCM16 WAV, 24bpp BMP, P6 PPM, and PNG (stdlib zlib inflate + all five
+  scanline filters; color types gray/RGB/palette/RGBA at bit depth 8).
+  Formats genuinely needing ffmpeg/PIL (mp4/jpeg/mp3/webp, interlaced or
+  16-bit PNG) still raise NotImplementedError at the codec seam.
 """
 
 from __future__ import annotations
@@ -114,15 +117,21 @@ def _codec_samples(mid: int) -> np.ndarray:
 
 
 def codec_media_table(
-    docs: DataFrame, n: int = 48, id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 48,
+    id_col: str = "doc_id",
+    image_formats: tuple[str, str] = ("bmp", "ppm"),
 ) -> DataFrame:
-    """Media table with REAL encoded payloads (WAV / BMP / PPM), content
-    derived from the id by pure arithmetic. kind cycles by id % 3:
-    0 -> BMP image, 1 -> WAV audio, 2 -> PPM image. Because the payload
-    content is a closed-form function of the id, the DuckDB oracle can
-    recompute every decoded feature from the formulas alone — a green
-    value-hash is a proof that ``decode_mode="real"`` inverts the encoder
-    on real container bytes."""
+    """Media table with REAL encoded payloads (WAV + two image container
+    slots), content derived from the id by pure arithmetic. kind cycles
+    by id % 3: 0 -> image_formats[0], 1 -> WAV audio,
+    2 -> image_formats[1] (formats: "bmp", "ppm", "png"). Because the
+    payload content is a closed-form function of the id, the DuckDB
+    oracle can recompute every decoded feature from the formulas alone —
+    a green value-hash is a proof that ``decode_mode="real"`` inverts the
+    encoder on real container bytes."""
+    encoders = {"bmp": encode_bmp24, "ppm": encode_ppm, "png": encode_png}
+    enc0, enc2 = encoders[image_formats[0]], encoders[image_formats[1]]
     base = docs.filter(F.col(id_col).cast("long") < n).select(
         F.col(id_col).cast("long").alias("media_id")
     )
@@ -140,7 +149,7 @@ def codec_media_table(
                     dur = len(s) * 1000 // 8000
                 else:
                     rgb = _codec_rgb(mid)
-                    payload = encode_bmp24(rgb) if mid % 3 == 0 else encode_ppm(rgb)
+                    payload = (enc0 if mid % 3 == 0 else enc2)(rgb)
                     kind, dur = "image", None
                     h, w = rgb.shape[:2]
                 rows["media_id"].append(mid)
@@ -318,15 +327,129 @@ def decode_ppm(p: bytes) -> list[float]:
     ]
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """8-bit truecolor (color type 2) PNG: filter 0 on every scanline,
+    one IDAT, zlib level 9 — all choices fixed so the emitted container
+    bytes are a deterministic function of the pixels."""
+    import zlib
+
+    h, w, _ = rgb.shape
+    raw = b"".join(
+        b"\x00" + rgb[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_rgb(p: bytes) -> np.ndarray:
+    """PNG pixel decode -> (h, w, 3) uint8 RGB. Pure python + numpy +
+    stdlib zlib: all five scanline filters (None/Sub/Up/Average/Paeth),
+    bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette), 6 (RGBA —
+    alpha dropped). Interlaced (Adam7) and 16-bit stay at the seam."""
+    import zlib
+
+    if p[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, b"", None
+    w = h = depth = ctype = interlace = None
+    while pos < len(p):
+        (ln,) = struct.unpack(">I", p[pos : pos + 4])
+        typ = p[pos + 4 : pos + 8]
+        data = p[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if depth != 8:
+        raise NotImplementedError("only bit depth 8 PNG is decoded without PIL")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG is not decoded without PIL")
+    if ctype not in (0, 2, 3, 6):
+        raise NotImplementedError(f"PNG color type {ctype} is not decoded")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub: per-lane cumsum over x (mod 256)
+            rec = cur.reshape(w, ch).cumsum(axis=0).reshape(stride) & 0xFF
+        elif ft == 2:  # Up: fully vectorized
+            rec = (cur + prev) & 0xFF
+        else:  # Average / Paeth need the sequential left neighbor
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                if ft == 3:
+                    rec[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth
+                    c = prev[x - ch] if x >= ch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (cur[x] + pred) & 0xFF
+        out[y] = rec
+        prev = rec.astype(np.int32)
+    px = out.reshape(h, w, ch)
+    if ctype == 2:
+        return px
+    if ctype == 6:
+        return px[:, :, :3]  # alpha dropped (decode target is RGB stats)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[px[:, :, 0]]
+    return np.repeat(px, 3, axis=2)  # gray -> RGB
+
+
+def decode_png(p: bytes) -> list[float]:
+    """PNG feature layout mirrors BMP/PPM with code 4."""
+    rgb = _png_rgb(p).astype(np.int64)
+    h, w = rgb.shape[:2]
+    return [
+        4.0, float(w), float(h), float(rgb[:, :, 0].sum()),
+        float(rgb[:, :, 1].sum()), float(rgb[:, :, 2].sum()),
+        float(rgb.max()), float(rgb.min()),
+    ]
+
+
 def decode_rgb(p: bytes) -> np.ndarray:
     """Magic-byte dispatch to a pixel decoder (images only)."""
     if p[:2] == b"BM":
         return _bmp_rgb(p)
     if p[:2] == b"P6":
         return _ppm_rgb(p)
+    if p[:8] == PNG_MAGIC:
+        return _png_rgb(p)
     raise NotImplementedError(
         f"no pure-python pixel decoder for payload magic {p[:8]!r} — "
-        "jpeg/png/webp require PIL; plug the codec in here"
+        "jpeg/webp require PIL; plug the codec in here"
     )
 
 
@@ -373,12 +496,14 @@ def resize_images(
                 w_out, h_out = w_in, h_in
                 if kind == "image" and p is not None:
                     try:
-                        rgb = nn_resize(decode_rgb(bytes(p)), width, height)
-                        p = (
-                            encode_bmp24(rgb)
-                            if bytes(p)[:2] == b"BM"
-                            else encode_ppm(rgb)
-                        )
+                        pb = bytes(p)
+                        rgb = nn_resize(decode_rgb(pb), width, height)
+                        if pb[:2] == b"BM":
+                            p = encode_bmp24(rgb)
+                        elif pb[:8] == PNG_MAGIC:
+                            p = encode_png(rgb)
+                        else:
+                            p = encode_ppm(rgb)
                         w_out, h_out = width, height
                     except NotImplementedError:
                         if on_unsupported == "raise":
@@ -403,13 +528,15 @@ def resize_images(
 
 def decode_payload(p: bytes) -> list[float]:
     """Magic-byte dispatch to a real decoder. Containers that genuinely
-    need ffmpeg/PIL (mp4, jpeg, png, mp3, ...) raise at this seam."""
+    need ffmpeg/PIL (mp4, jpeg, mp3, ...) raise at this seam."""
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return decode_wav(p)
     if p[:2] == b"BM":
         return decode_bmp(p)
     if p[:2] == b"P6":
         return decode_ppm(p)
+    if p[:8] == PNG_MAGIC:
+        return decode_png(p)
     raise NotImplementedError(
         f"no pure-python decoder for payload magic {p[:8]!r} — this format "
         "requires ffmpeg/PIL; plug the codec in here"

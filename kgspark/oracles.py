@@ -1277,6 +1277,43 @@ def q_media_resize(n: int = 48, rw: int = 4, rh: int = 3) -> str:
 SELECT media_id, 'image' AS kind, n_bytes, {sig} AS feature_sig FROM img"""
 
 
+def q_media_resize_png(n: int = 48, rw: int = 4, rh: int = 3) -> str:
+    """PNG twin of q_media_resize: both image slots are PNG containers
+    (code 4). n_bytes is omitted — a DEFLATE stream's length is not
+    closed-form in media_id — so the hash pins every resized pixel
+    through inflate -> unfilter -> resample -> deflate -> inflate."""
+    w, h = "(4 + (media_id % 4))", "(3 + (media_id % 3))"
+
+    def chan(off: int) -> str:
+        sy = f"(((2*(i // {rw}) + 1) * {h}) // {2 * rh})"
+        sx = f"(((2*(i % {rw}) + 1) * {w}) // {2 * rw})"
+        return (
+            f"list_transform(generate_series(0, {rw * rh} - 1), "
+            f"i -> (media_id*7 + {sy}*13 + {sx}*5 + {off}) % 256)"
+        )
+
+    img_sums = ", ".join(
+        f"list_aggregate({chan(off)}, 'sum') AS s{c}"
+        for c, off in (("r", 0), ("g", 11), ("b", 22))
+    )
+    img_ext = (
+        f"greatest(list_aggregate({chan(0)}, 'max'), list_aggregate({chan(11)}, 'max'), "
+        f"list_aggregate({chan(22)}, 'max')) AS mx, "
+        f"least(list_aggregate({chan(0)}, 'min'), list_aggregate({chan(11)}, 'min'), "
+        f"list_aggregate({chan(22)}, 'min')) AS mn"
+    )
+    sig = (
+        "'4|' || cast(w AS VARCHAR) || '|' || cast(h AS VARCHAR)"
+        " || '|' || cast(sr AS VARCHAR) || '|' || cast(sg AS VARCHAR) || '|' || cast(sb AS VARCHAR)"
+        " || '|' || cast(mx AS VARCHAR) || '|' || cast(mn AS VARCHAR)"
+    )
+    return f"""WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < {n}),
+  img AS (
+    SELECT media_id, {rw} AS w, {rh} AS h, {img_sums}, {img_ext}
+    FROM ids WHERE media_id % 3 <> 1)
+SELECT media_id, 'image' AS kind, {sig} AS feature_sig FROM img"""
+
+
 def q_video_frames(n: int = 48, every_ms: int = 5000, dim: int = 8) -> str:
     return f"""WITH m AS (
     SELECT doc_id AS media_id, text, 1000 + (doc_id * 7919) % 59000 AS duration_ms

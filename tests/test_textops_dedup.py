@@ -421,6 +421,93 @@ def test_codec_decoders_beyond_encoder_shapes():
     assert decode_ppm(ppm) == decode_bmp(bottom_up)[:0] + [3.0] + decode_bmp(bottom_up)[1:]
 
 
+def _foreign_png(px, ctype, filters, plte=None):
+    """Independent PNG encoder (NOT encode_png): arbitrary per-row filter
+    types and color types, so the decoder is tested against streams our
+    own encoder never emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from kgspark.multimodal import PNG_MAGIC
+
+    def chunk(typ, data):
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    h, w = px.shape[:2]
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    raw, prev = b"", np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        cur = flat[y]
+        enc = np.zeros_like(cur)
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([ft]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_codec_filters_and_color_types():
+    """PNG decode vs an independent encoder: all five scanline filters
+    (None/Sub/Up/Average/Paeth) and the four 8-bit color types
+    (gray, RGB, palette, RGBA), plus the encode_png round-trip."""
+    import numpy as np
+
+    from kgspark.multimodal import _png_rgb, decode_png, encode_png
+
+    rng = np.random.RandomState(5)
+    for (h, w) in [(1, 1), (3, 4), (17, 23)]:
+        rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(_png_rgb(encode_png(rgb)), rgb)
+
+    h, w = 9, 11
+    rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert np.array_equal(_png_rgb(_foreign_png(rgb, 2, filters)), rgb)
+    gray = rng.randint(0, 256, (h, w, 1), dtype=np.uint8)
+    assert np.array_equal(
+        _png_rgb(_foreign_png(gray, 0, [0, 1, 2, 3, 4])),
+        np.repeat(gray, 3, axis=2),
+    )
+    rgba = rng.randint(0, 256, (h, w, 4), dtype=np.uint8)
+    assert np.array_equal(
+        _png_rgb(_foreign_png(rgba, 6, [4, 3, 2, 1, 0])), rgba[:, :, :3]
+    )
+    plte = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (h, w, 1), dtype=np.uint8)
+    assert np.array_equal(
+        _png_rgb(_foreign_png(idx, 3, [0, 2, 4], plte=plte)), plte[idx[:, :, 0]]
+    )
+    feats = decode_png(encode_png(rgb))
+    assert feats[:3] == [4.0, float(w), float(h)]
+
+
 def test_codec_media_real_features(spark):
     """decode_mode='real' end-to-end over real WAV/BMP/PPM payloads; mp4
     stays behind the NotImplementedError seam."""
