@@ -495,6 +495,39 @@ def q_cwb_compressed(spark, sf_dir):
     )
 
 
+def q_warc_cc_roundtrip(spark, sf_dir):
+    """The full Common-Crawl wire shape: documents -> .warc.gz files (one
+    gzip member per record, payloads wrapped in HTTP/1.1 envelopes) ->
+    distributed member scan -> HTTP unwrap (status/headers/charset) ->
+    page text. A green hash pins every layer a real crawl archive has."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kgspark.warc import http_responses, read_warc, write_warc
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .repartition(4)
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.lit("2026-01-01T00:00:00Z").alias("warc_ts"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="kgspark-warc-cc-")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    write_warc(docs, out_dir, compress=True, http_wrap=True)
+    back = http_responses(
+        read_warc(spark, out_dir).filter(F.col("record_type") == "response")
+    ).filter(F.col("http_status") == 200)
+    return back.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("html").alias("text"),
+    )
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """S-source for the webtext axis: documents -> WARC/1.0 container
     files (one per task) -> distributed per-file record scan -> payloads.
@@ -996,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "quantize_embeddings": q_quantize_embeddings,
         "cwb_compressed": q_cwb_compressed,
+        "warc_cc_roundtrip": q_warc_cc_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_topk": q_tfidf_topk,
@@ -1087,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": oracles.q_pack_chunks(budget=2048, n_shards=8),
         "quantize_embeddings": oracles.q_quantize_embeddings(),
         "cwb_compressed": "SELECT doc_id, text FROM documents WHERE doc_id < 60",
+        "warc_cc_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 100",
         "warc_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 100",
         "unigram_logprob": oracles.q_unigram_logprob(),
         "tfidf_topk": oracles.q_tfidf_topk(k=5),

@@ -61,16 +61,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.input_format == "warc":
         from pyspark.sql import functions as F
 
-        from kgspark.warc import read_warc
+        from kgspark.warc import http_responses, read_warc
 
-        docs = (
-            read_warc(spark, args.input)
-            .filter(F.col("record_type") == "response")
-            .select(
-                "url",
-                F.col("warc_ts").cast("timestamp").alias("warc_ts"),
-                F.col("payload").alias("html"),
-            )
+        # http_responses strips the HTTP envelope real crawls store in
+        # response payloads (status line/headers/chunked/charset); bare-HTML
+        # payloads (our own writer's default) pass through untouched.
+        docs = http_responses(
+            read_warc(spark, args.input).filter(F.col("record_type") == "response")
+        ).select(
+            "url",
+            F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+            "html",
         )
     else:
         docs = spark.read.parquet(args.input)

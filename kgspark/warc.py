@@ -5,10 +5,12 @@ documents table is what a WARC crawl becomes after this module).
 Format: a WARC file is a sequence of records; each record is a header
 block (``WARC/1.0`` version line + ``Name: value`` lines, CRLF
 terminated, blank line) followed by ``Content-Length`` payload bytes and
-``CRLF CRLF``. Uncompressed WARC is parsed natively here; per-record-gzip
-WARC (.warc.gz with one gzip member per record) is handled by whole-file
-gunzip when the file is a single stream, else disclosed as a seam (the
-production layout keeps files at task size anyway).
+``CRLF CRLF``. Both layouts on disk are handled natively: uncompressed
+``.warc``, and the crawl wire format ``.warc.gz`` with one gzip member
+per record (stdlib gzip reads concatenated members; the writer emits
+them with ``compress=True``). Response payloads carrying a raw HTTP
+exchange — status line, headers, chunked transfer coding, Content-Type
+charset — are unwrapped to text by ``http_responses``.
 
 Scale shape: WARC records are variable-length, so the SPLIT UNIT is the
 file, not a byte range — exactly how crawl archives are laid out (CC
@@ -26,6 +28,7 @@ from __future__ import annotations
 import gzip
 import io
 import os
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,6 +36,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 CRLF = b"\r\n"
 WARC_OUT_SCHEMA = "url string, warc_ts string, record_type string, payload binary"
+HTTP_OUT_SCHEMA = (
+    "url string, warc_ts string, http_status int, content_type string, html string"
+)
 
 
 def build_warc_record(
@@ -89,6 +95,117 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# HTTP response payloads — what a REAL crawl's response records contain
+# (Common Crawl stores the raw HTTP exchange, not bare HTML: status line +
+# headers + body, possibly Transfer-Encoding: chunked, charset in
+# Content-Type).
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode Transfer-Encoding: chunked (hex size line, chunk, CRLF ...
+    terminated by a 0-size chunk; trailers ignored)."""
+    out, pos = bytearray(), 0
+    while pos < len(body):
+        nl = body.find(CRLF, pos)
+        if nl < 0:
+            break
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break  # malformed: keep what we have
+        if size == 0:
+            break
+        out += body[nl + 2 : nl + 2 + size]
+        pos = nl + 2 + size + 2  # skip chunk + trailing CRLF
+    return bytes(out)
+
+
+def parse_http_response(raw: bytes) -> dict:
+    """Raw HTTP/1.x response bytes -> {status, content_type, text}.
+
+    Dechunks chunked bodies, honors the Content-Type charset (utf-8
+    default, undecodable bytes replaced — a crawl pipeline must never
+    crash on a bad page). Payloads that are NOT an HTTP response (bare
+    HTML from our own writer) pass through with status None."""
+    if raw[:5] != b"HTTP/":
+        return {
+            "status": None,
+            "content_type": None,
+            "text": raw.decode("utf-8", "replace"),
+        }
+    sep = raw.find(CRLF + CRLF)
+    if sep < 0:
+        sep = len(raw)
+    head = raw[:sep].decode("latin-1")
+    lines = head.split("\r\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        status = None
+    headers = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    body = raw[sep + 4 :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    ctype = headers.get("content-type")
+    charset = "utf-8"
+    if ctype:
+        m = re.search(r"charset=\"?([\w\-]+)", ctype, re.I)
+        if m:
+            charset = m.group(1)
+    try:
+        text = body.decode(charset, "replace")
+    except LookupError:  # unknown charset label on a real page
+        text = body.decode("utf-8", "replace")
+    return {"status": status, "content_type": ctype, "text": text}
+
+
+def http_responses(records: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """WARC response records -> (url, warc_ts, http_status, content_type,
+    html): the payload's HTTP envelope parsed off (status/headers/
+    dechunk/charset), bare-HTML payloads passed through. Arrow-batched
+    kernel, one narrow pass — at crawl scale this runs fused with the
+    file scan."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_http_response(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "warc_ts": pdf["warc_ts"].to_numpy(),
+                    "http_status": pd.array(
+                        [r["status"] for r in parsed], dtype="Int32"
+                    ),
+                    "content_type": [r["content_type"] for r in parsed],
+                    "html": [r["text"] for r in parsed],
+                }
+            )
+
+    return records.select("url", "warc_ts", payload_col).mapInPandas(
+        kernel, HTTP_OUT_SCHEMA
+    )
+
+
+def build_http_response(
+    body: bytes, content_type: str = "text/html; charset=utf-8"
+) -> bytes:
+    """Minimal HTTP/1.1 200 envelope — the wire shape CC response payloads
+    have; used by the writer's http_wrap mode and the test fixtures."""
+    return (
+        b"HTTP/1.1 200 OK" + CRLF
+        + b"Content-Type: " + content_type.encode() + CRLF
+        + b"Content-Length: " + str(len(body)).encode() + CRLF
+        + CRLF
+        + body
+    )
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC scan: one task per file (the crawl-archive split
     unit), records parsed by an Arrow-batched kernel. Returns
@@ -113,10 +230,20 @@ def write_warc(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     payload_col: str = "payload",
+    compress: bool = False,
+    http_wrap: bool = False,
 ) -> None:
     """One WARC file per partition, written by the task that owns the
-    rows (no driver collect). Deterministic names via the partition id."""
+    rows (no driver collect). Deterministic names via the partition id.
+
+    ``compress=True`` emits Common Crawl's wire format — ``.warc.gz``
+    with ONE GZIP MEMBER PER RECORD (so a reader can resync on member
+    boundaries without decompressing the whole file); ``http_wrap=True``
+    wraps each payload in a minimal HTTP/1.1 200 envelope, making the
+    output byte-shape a real crawl archive (read back with
+    ``read_warc`` + ``http_responses``)."""
     os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
 
     def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -126,10 +253,14 @@ def write_warc(
         n = 0
         for pdf in batches:
             for u, t, p in zip(pdf[url_col], pdf[ts_col], pdf[payload_col]):
-                buf.write(build_warc_record(str(u), str(t), bytes(p)))
+                p = bytes(p)
+                if http_wrap:
+                    p = build_http_response(p)
+                rec = build_warc_record(str(u), str(t), p)
+                buf.write(gzip.compress(rec, mtime=0) if compress else rec)
                 n += 1
         if n:
-            with open(os.path.join(out_dir, f"part-{pid:05d}.warc"), "wb") as fh:
+            with open(os.path.join(out_dir, f"part-{pid:05d}{ext}"), "wb") as fh:
                 fh.write(buf.getvalue())
         yield pd.DataFrame({"partition": [pid], "n_records": [n]})
 

@@ -60,3 +60,59 @@ def test_distributed_write_read_roundtrip(spark, tmp_path):
     got = sorted((r["doc_id"], r["text"]) for r in back.collect())
     want = sorted((r["doc_id"], r["text"]) for r in docs.collect())
     assert got == want
+
+
+def test_http_response_parsing():
+    from kgspark.warc import build_http_response, parse_http_response
+
+    # plain envelope
+    r = parse_http_response(build_http_response("<p>hi</p>".encode()))
+    assert (r["status"], r["text"]) == (200, "<p>hi</p>")
+    assert "text/html" in r["content_type"]
+    # charset honored (latin-1 bytes that are invalid utf-8)
+    body = "caf\xe9".encode("latin-1")
+    raw = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n"
+           b"\r\n" + body)
+    assert parse_http_response(raw)["text"] == "caf\xe9"
+    # unknown charset label must not crash (decode utf-8 with replacement)
+    raw = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=bogus-enc\r\n\r\nok"
+    assert parse_http_response(raw)["text"] == "ok"
+    # chunked transfer coding
+    raw = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+           b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n")
+    assert parse_http_response(raw)["text"] == "hello world"
+    # non-HTTP payload passes through as text with status None
+    r = parse_http_response(b"<html>bare</html>")
+    assert (r["status"], r["text"]) == (None, "<html>bare</html>")
+    # 404 status surfaces
+    raw = b"HTTP/1.1 404 Not Found\r\n\r\ngone"
+    assert parse_http_response(raw)["status"] == 404
+
+
+def test_cc_wire_format_roundtrip(spark, tmp_path):
+    """Common-Crawl byte shape end to end: write_warc(compress=True,
+    http_wrap=True) emits .warc.gz files with one gzip member per record
+    whose payloads are HTTP responses; read_warc + http_responses must
+    recover every page text."""
+    from kgspark.warc import http_responses
+
+    rows = [(f"http://ex.org/{i}", "2026-01-01T00:00:00Z",
+             f"<html>page {i} — caf\xe9</html>".encode()) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, payload binary"
+    ).repartition(3)
+    out = str(tmp_path / "cc")
+    write_warc(df, out, compress=True, http_wrap=True)
+    import os
+
+    names = sorted(os.listdir(out))
+    assert all(n.endswith(".warc.gz") for n in names)
+    # each file holds multiple independent gzip members
+    blob = open(os.path.join(out, names[0]), "rb").read()
+    assert blob.count(b"\x1f\x8b\x08") >= 2
+
+    back = http_responses(
+        read_warc(spark, out).filter(F.col("record_type") == "response")
+    )
+    got = {r["url"]: (r["http_status"], r["html"]) for r in back.collect()}
+    assert got == {u: (200, p.decode()) for u, t, p in rows}
