@@ -360,7 +360,8 @@ def _png_rgb(p: bytes) -> np.ndarray:
     """PNG pixel decode -> (h, w, 3) uint8 RGB. Pure python + numpy +
     stdlib zlib: all five scanline filters (None/Sub/Up/Average/Paeth),
     bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette), 6 (RGBA —
-    alpha dropped). Interlaced (Adam7) and 16-bit stay at the seam."""
+    alpha dropped), both interlace methods (null and Adam7). 16-bit and
+    sub-byte depths stay at the seam."""
     import zlib
 
     if p[:8] != PNG_MAGIC:
@@ -382,41 +383,65 @@ def _png_rgb(p: bytes) -> np.ndarray:
             break
     if depth != 8:
         raise NotImplementedError("only bit depth 8 PNG is decoded without PIL")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG is not decoded without PIL")
     if ctype not in (0, 2, 3, 6):
         raise NotImplementedError(f"PNG color type {ctype} is not decoded")
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
-    stride = w * ch
     raw = zlib.decompress(idat)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        cur = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        if ft == 0:
-            rec = cur
-        elif ft == 1:  # Sub: per-lane cumsum over x (mod 256)
-            rec = cur.reshape(w, ch).cumsum(axis=0).reshape(stride) & 0xFF
-        elif ft == 2:  # Up: fully vectorized
-            rec = (cur + prev) & 0xFF
-        else:  # Average / Paeth need the sequential left neighbor
-            rec = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
-                b = prev[x]
-                if ft == 3:
-                    rec[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
-                else:  # Paeth
-                    c = prev[x - ch] if x >= ch else 0
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    rec[x] = (cur[x] + pred) & 0xFF
-        out[y] = rec
-        prev = rec.astype(np.int32)
-    px = out.reshape(h, w, ch)
+
+    def unfilter(data: bytes, rows: int, width: int) -> np.ndarray:
+        """De-filter `rows` scanlines of `width` pixels; returns
+        (rows, width*ch) uint8."""
+        stride = width * ch
+        out = np.zeros((rows, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(rows):
+            ft = data[y * (stride + 1)]
+            cur = np.frombuffer(
+                data, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            ).astype(np.int32)
+            if ft == 0:
+                rec = cur
+            elif ft == 1:  # Sub: per-lane cumsum over x (mod 256)
+                rec = cur.reshape(width, ch).cumsum(axis=0).reshape(stride) & 0xFF
+            elif ft == 2:  # Up: fully vectorized
+                rec = (cur + prev) & 0xFF
+            else:  # Average / Paeth need the sequential left neighbor
+                rec = np.zeros(stride, dtype=np.int32)
+                for x in range(stride):
+                    a = rec[x - ch] if x >= ch else 0
+                    b = prev[x]
+                    if ft == 3:
+                        rec[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                    else:  # Paeth
+                        c = prev[x - ch] if x >= ch else 0
+                        pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                        pred = (
+                            a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        )
+                        rec[x] = (cur[x] + pred) & 0xFF
+            out[y] = rec
+            prev = rec.astype(np.int32)
+        return out
+
+    if interlace == 0:
+        px = unfilter(raw, h, w).reshape(h, w, ch)
+    else:  # Adam7: seven sub-images, each filtered independently
+        # (x_start, y_start, x_step, y_step) per pass
+        ADAM7 = (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for (x0, y0, dx, dy) in ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            nbytes = ph * (pw * ch + 1)
+            sub = unfilter(raw[off : off + nbytes], ph, pw).reshape(ph, pw, ch)
+            px[y0::dy, x0::dx] = sub
+            off += nbytes
     if ctype == 2:
         return px
     if ctype == 6:

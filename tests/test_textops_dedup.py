@@ -508,6 +508,72 @@ def test_png_codec_filters_and_color_types():
     assert feats[:3] == [4.0, float(w), float(h)]
 
 
+def test_png_adam7_interlaced():
+    """Adam7 decode vs an independent interlaced encoder: seven passes,
+    mixed per-row filters, shapes that leave some passes empty. Coverage
+    sanity first: the pass lattice must tile every pixel exactly once."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from kgspark.multimodal import PNG_MAGIC, _png_rgb
+
+    ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    def chunk(typ, data):
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    def make_adam7(px, filters=(0, 1, 2, 3, 4)):
+        h, w, ch = px.shape
+        raw, fi = b"", 0
+        for (x0, y0, dx, dy) in ADAM7:
+            sub = px[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            flat = sub.reshape(ph, pw * ch).astype(np.int32)
+            prev = np.zeros(pw * ch, dtype=np.int32)
+            for y in range(ph):
+                ft = filters[fi % len(filters)]
+                fi += 1
+                cur = flat[y]
+                enc = np.zeros_like(cur)
+                for x in range(pw * ch):
+                    a = cur[x - ch] if x >= ch else 0
+                    b = prev[x]
+                    c = prev[x - ch] if x >= ch else 0
+                    pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1}.get(ft)
+                    if pred is None:
+                        pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                        pred = (
+                            a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        )
+                    enc[x] = (cur[x] - pred) & 0xFF
+                raw += bytes([ft]) + enc.astype(np.uint8).tobytes()
+                prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        return (
+            PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(9)
+    for (h, w) in [(1, 1), (3, 5), (8, 8), (13, 21), (16, 16), (2, 9)]:
+        cover = np.zeros((h, w), dtype=int)
+        for (x0, y0, dx, dy) in ADAM7:
+            cover[y0::dy, x0::dx] += 1
+        assert (cover == 1).all()
+        rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(_png_rgb(make_adam7(rgb)), rgb), (h, w)
+
+
 def test_codec_media_real_features(spark):
     """decode_mode='real' end-to-end over real WAV/BMP/PPM payloads; mp4
     stays behind the NotImplementedError seam."""
