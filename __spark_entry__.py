@@ -979,6 +979,31 @@ def q_media_png_resize(spark, sf_dir):
     )
 
 
+def q_media_jpeg_roundtrip(spark, sf_dir):
+    """Baseline JPEG real-codec path (kgspark/jpegcodec.py — pure-numpy
+    DCT + canonical Huffman from the T.81 spec): flat-color id-derived
+    pixels -> JPEG encode (quality 100) -> decode -> integer nearest-
+    neighbor resize -> JPEG re-encode -> decode -> feature stats. Flat
+    blocks at quality 100 survive the DCT round-trip BIT-EXACT, so the
+    oracle re-derives every value closed-form and a green hash pins the
+    whole lossy-container codec; the high-frequency (tolerance) paths
+    are pinned by tests/test_textops_dedup.py::test_jpeg_codec_*."""
+    from kgspark.multimodal import codec_media_table, resize_images
+
+    media = codec_media_table(
+        _docs(spark, sf_dir), n=48, image_formats=("jpeg", "jpeg"), flat=True
+    )
+    resized = resize_images(media.filter(F.col("kind") == "image"), width=4, height=3)
+    feats = extract_features(resized, decode_mode="real")
+    return feats.select(
+        "media_id", "kind",
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: x.cast("bigint").cast("string")),
+            "|",
+        ).alias("feature_sig"),
+    )
+
+
 def q_video_frames(spark, sf_dir):
     media = media_table(_docs(spark, sf_dir), n=48)
     frames = sample_video_frames(media, every_ms=5000)
@@ -1040,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_real": q_media_features_real,
         "media_resize_real": q_media_resize,
         "media_png_resize": q_media_png_resize,
+        "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
         "video_frame_sample": q_video_frames,
         "align_tokens": q_align_tokens,
         "align_tokens_exact": q_align_exact,
@@ -1151,6 +1177,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features_real": oracles.q_media_features_real(n=48),
         "media_resize_real": oracles.q_media_resize(n=48, rw=4, rh=3),
         "media_png_resize": oracles.q_media_resize_png(n=48, rw=4, rh=3),
+        "media_jpeg_roundtrip": oracles.q_media_jpeg_roundtrip(n=48, rw=4, rh=3),
         "video_frame_sample": oracles.q_video_frames(n=48, every_ms=5000),
         "tei_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 50",
         "ann_lsh_bucketed": oracles.q_ann_lsh(n_tables=8, multiprobe=True),

@@ -1,0 +1,646 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT) codec — pure python + numpy.
+
+The biggest real-crawl image format, implemented from the public spec so
+`kgspark.multimodal` can feature-extract and resize actual web images
+with no PIL/libjpeg dependency:
+
+- **decode** (`decode_jpeg_rgb`): marker walk (SOI/APPn/COM/DQT/DHT/
+  SOF0/SOF1/DRI/SOS/EOI), Huffman tables read from the FILE's own DHT
+  segments (so any baseline JPEG decodes, not just ours), 8/16-bit DQT,
+  interleaved MCU scan with byte unstuffing and restart-marker DC
+  resets, arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, grayscale),
+  dequant -> dezigzag -> vectorized 8x8 IDCT (one matrix product per
+  block batch) -> chroma replication upsample -> YCbCr->RGB.
+  Progressive JPEG (SOF2) raises at the disclosed seam.
+- **encode** (`encode_jpeg`): 4:4:4 baseline with per-image OPTIMIZED
+  Huffman tables (two-pass: symbol frequencies -> canonical
+  length-limited code, the libjpeg "optimize coding" path — no Annex K
+  tables hardcoded anywhere), standard zigzag, byte stuffing,
+  quality-scaled quantization (quality=100 -> all-ones tables, where
+  DCT round-trip error is <=1/pixel and flat blocks are EXACT).
+
+The encoder exists for fixtures and the resize re-encode path; the
+decoder is the production surface. Scale shape: both run inside
+Arrow-batched kernels (`multimodal.extract_features` / `resize_images`)
+— per-payload work, partition-parallel, no shuffle implications.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: zigzag_index[k] = position in the 8x8 block (row*8+col)
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Orthonormal 8-point DCT-II basis: F = T @ B @ T.T ; B = T.T @ F @ T
+_T = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        c = np.sqrt(0.125) if _u == 0 else 0.5
+        _T[_u, _x] = c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+# ISO/IEC 10918-1 Annex K.1 example quantization tables (the de-facto
+# standard base tables every quality scale derives from)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg-compatible quality scaling of the Annex K base tables;
+    quality=100 gives all-ones (near-lossless DCT round-trip)."""
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((QUANT_LUMA * scale + 50) // 100, 1, 255)
+    qc = np.clip((QUANT_CHROMA * scale + 50) // 100, 1, 255)
+    return ql.astype(np.int64), qc.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Huffman (JPEG flavor: BITS[1..16] counts + HUFFVAL symbol list)
+
+
+def build_huffman_spec(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
+    """(bits, huffval) from symbol frequencies — the optimize-coding path.
+
+    A pseudo-symbol with frequency 1 is included so no REAL symbol is
+    assigned the all-ones code (T.81 reserves it), then lengths beyond 16
+    are folded down with the Annex K.3 Adjust_BITS procedure."""
+    import heapq
+
+    counts = dict(freqs)
+    PSEUDO = 256
+    counts[PSEUDO] = 1
+    heap = [(f, s, (s,)) for s, f in counts.items()]
+    heapq.heapify(heap)
+    if len(heap) == 1:
+        lengths = {next(iter(counts)): 1}
+    else:
+        depth: dict[int, int] = {s: 0 for s in counts}
+        while len(heap) > 1:
+            f1, t1, g1 = heapq.heappop(heap)
+            f2, t2, g2 = heapq.heappop(heap)
+            for s in g1 + g2:
+                depth[s] += 1
+            heapq.heappush(heap, (f1 + f2, min(t1, t2), g1 + g2))
+        lengths = depth
+    bits = [0] * 33
+    for s, l in lengths.items():
+        bits[min(l, 32)] += 1
+    # Adjust_BITS: fold lengths > 16 down (take two codes from the longest
+    # length, move one up — standard K.3)
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    # assign the adjusted length multiset to symbols in (orig length,
+    # symbol) order, with the pseudo symbol FORCED LAST so the deepest
+    # code — the canonical all-ones one — always lands on it and is then
+    # dropped (swapping two symbols' lengths keeps the multiset, hence
+    # Kraft validity)
+    symlen = sorted((l, s) for s, l in lengths.items() if s != PSEUDO)
+    symlen.append((lengths[PSEUDO], PSEUDO))
+    flat: list[int] = []
+    for l in range(1, 17):
+        flat.extend([l] * bits[l])
+    out_bits = [0] * 17
+    huffval: list[int] = []
+    for (_orig_l, s), l in zip(symlen, flat):
+        if s == PSEUDO:
+            continue  # its (all-ones) code is never emitted
+        out_bits[l] += 1
+        huffval.append(s)
+    return out_bits[1:], huffval
+
+
+def huffman_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 C.2 canonical code generation."""
+    codes = {}
+    code, k = 0, 0
+    for l in range(1, 17):
+        for _ in range(bits[l - 1]):
+            codes[huffval[k]] = (code, l)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _HuffDecoder:
+    """Canonical table-walk decoder built from (bits, huffval)."""
+
+    __slots__ = ("min_code", "max_code", "val_idx", "huffval")
+
+    def __init__(self, bits: list[int], huffval: list[int]) -> None:
+        self.huffval = huffval
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_idx = [0] * 17
+        code, k = 0, 0
+        for l in range(1, 17):
+            if bits[l - 1]:
+                self.val_idx[l] = k
+                self.min_code[l] = code
+                code += bits[l - 1]
+                k += bits[l - 1]
+                self.max_code[l] = code - 1
+            else:
+                self.max_code[l] = -1
+            code <<= 1
+
+    def decode(self, br: "_BitReader") -> int:
+        code, l = 0, 0
+        while True:
+            code = (code << 1) | br.read_bit()
+            l += 1
+            if l > 16:
+                raise ValueError("corrupt JPEG: huffman code > 16 bits")
+            if self.max_code[l] >= code >= self.min_code[l]:
+                return self.huffval[self.val_idx[l] + code - self.min_code[l]]
+
+
+class _BitReader:
+    """Entropy-coded segment bit reader: 0xFF00 unstuffing, stops at
+    markers (restart markers handled by the MCU loop)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # marker reached — T.81 pads with 1-bits
+                    self.pos -= 1
+                    return 1
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        self.nbits = 0
+
+    def at_marker(self) -> int | None:
+        """Return the marker byte if positioned at an 0xFFxx marker."""
+        p = self.pos
+        while p + 1 < len(self.data) and self.data[p] == 0xFF:
+            if self.data[p + 1] != 0x00:
+                return self.data[p + 1]
+            return None
+        return None
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map `size`-bit magnitude to signed amplitude."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+
+
+def decode_jpeg_rgb(p: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB."""
+    if p[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    scan_pos = -1
+    scan_map: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
+
+    while pos < len(p):
+        if p[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = p[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", p[pos : pos + 2])
+        seg = p[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT — multiple tables per segment
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                sp += 1
+                if pq:  # 16-bit entries
+                    tbl = np.frombuffer(seg, dtype=">u2", count=64, offset=sp)
+                    sp += 128
+                else:
+                    tbl = np.frombuffer(seg, dtype=np.uint8, count=64, offset=sp)
+                    sp += 64
+                z = np.zeros(64, dtype=np.int64)
+                z[ZIGZAG] = tbl.astype(np.int64)
+                qt[tq] = z.reshape(8, 8)
+        elif marker == 0xC4:  # DHT — multiple tables per segment
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0xF
+                bits = list(seg[sp + 1 : sp + 17])
+                n = sum(bits)
+                huffval = list(seg[sp + 17 : sp + 17 + n])
+                dec = _HuffDecoder(bits, huffval)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                sp += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for i in range(nc):
+                cid, sf, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "hs": sf >> 4, "vs": sf & 0xF, "tq": tq}
+                )
+        elif marker == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) is not decoded without libjpeg"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_map = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i : 3 + 2 * i]
+                ci = next(
+                    j for j, c in enumerate(comps) if c["id"] == cs
+                )
+                scan_map.append((ci, tt >> 4, tt & 0xF))
+            scan_pos = pos + seglen
+            break
+        pos += seglen
+    if scan_pos < 0 or not comps:
+        raise ValueError("corrupt JPEG: no scan")
+
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8), dtype=np.float64)
+        )
+
+    br = _BitReader(p, scan_pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_to_marker()
+                m = br.at_marker()
+                if m is not None and 0xD0 <= m <= 0xD7:
+                    br.pos += 2
+                    pred = [0] * len(comps)
+            for (ci, dc_id, ac_id) in scan_map:
+                c = comps[ci]
+                q = qt[c["tq"]]
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = huff_dc[dc_id].decode(br)
+                        diff = _extend(br.receive(size), size) if size else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = huff_ac[ac_id].decode(br)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("corrupt JPEG: AC overrun")
+                            zz[k] = _extend(br.receive(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.int64)
+                        blk[ZIGZAG] = zz
+                        F = blk.reshape(8, 8) * q
+                        pix = _T.T @ F @ _T + 128.0
+                        y0 = (my * c["vs"] + by) * 8
+                        x0 = (mx * c["hs"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu_count += 1
+
+    # upsample to full resolution by replication, crop, color-convert
+    full = []
+    for c, plane in zip(comps, planes):
+        ry, rx = vmax // c["vs"], hmax // c["hs"]
+        up = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(up[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    Y, Cb, Cr = full[0], full[1] - 128.0, full[2] - 128.0
+    R = Y + 1.402 * Cr
+    G = Y - 0.344136 * Cb - 0.714136 * Cr
+    B = Y + 1.772 * Cb
+    return np.clip(
+        np.round(np.stack([R, G, B], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (4:4:4 baseline, optimized Huffman tables)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _csize(v: int) -> int:
+    """Bit category of an amplitude (0 for 0)."""
+    return int(abs(v)).bit_length()
+
+
+def _block_symbols(zz: np.ndarray, prev_dc: int) -> tuple[list, int]:
+    """Entropy symbols of one zigzagged quantized block:
+    [('dc', size, amp)] + [('ac', rs, amp) ...]."""
+    syms: list = []
+    diff = int(zz[0]) - prev_dc
+    syms.append(("dc", _csize(diff), diff))
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            syms.append(("ac", 0xF0, 0))  # ZRL
+            run -= 16
+        syms.append(("ac", (run << 4) | _csize(v), v))
+        run = 0
+    if last_nz < 63:
+        syms.append(("ac", 0x00, 0))  # EOB
+    return syms, int(zz[0])
+
+
+def encode_jpeg(
+    rgb: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> baseline JPEG (4:4:4, 4:2:0, or
+    grayscale) with per-image optimized Huffman tables (two-pass) — no
+    external tables, fully deterministic. The 4:2:0 path box-averages
+    chroma and interleaves MCUs exactly as the decoder's sampling-factor
+    loop expects; ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that many MCUs (byte-aligned, DC predictors reset)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    if rgb.ndim == 2:
+        return _encode_jpeg_components(
+            [(rgb.astype(np.float64), 0, 1, 1)],
+            rgb.shape[0], rgb.shape[1], quality, restart_interval,
+        )
+    h, w = rgb.shape[:2]
+    ql, qc = quality_tables(quality)
+    x = rgb.astype(np.float64)
+    R, G, B = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+    Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+
+    ys = 2 if subsampling == "420" else 1  # luma sampling factor (h = v)
+    mcu_px = 8 * ys
+    mh = (h + mcu_px - 1) // mcu_px
+    mw = (w + mcu_px - 1) // mcu_px
+
+    def pad_to(plane: np.ndarray, th: int, tw: int) -> np.ndarray:
+        return np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+
+    Yp = pad_to(Y, mh * mcu_px, mw * mcu_px)
+    if ys == 2:  # box-average 2x2 chroma
+        Cbp = pad_to(Cb, mh * mcu_px, mw * mcu_px)
+        Crp = pad_to(Cr, mh * mcu_px, mw * mcu_px)
+        Cbp = Cbp.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+        Crp = Crp.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+    else:
+        Cbp = pad_to(Cb, mh * 8, mw * 8)
+        Crp = pad_to(Cr, mh * 8, mw * 8)
+
+    return _encode_jpeg_components(
+        [(Yp, 0, ys, ys), (Cbp, 1, 1, 1), (Crp, 1, 1, 1)],
+        h, w, quality, restart_interval,
+    )
+
+
+def _encode_jpeg_components(
+    comps: list[tuple[np.ndarray, int, int, int]],
+    h: int,
+    w: int,
+    quality: int,
+    restart_interval: int,
+) -> bytes:
+    """Shared entropy-coding back half: `comps` is [(padded plane,
+    huff/quant table id, hs, vs)] in component order; table id 0 = luma
+    tables, 1 = chroma."""
+    ql, qc = quality_tables(quality)
+    qts = {0: ql, 1: qc}
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mh = comps[0][0].shape[0] // (8 * comps[0][3]) if comps else 0
+    mw = comps[0][0].shape[1] // (8 * comps[0][2]) if comps else 0
+    # (for the single-component case the plane may not be MCU-padded yet)
+    if comps[0][0].shape[0] % (8 * comps[0][3]) or comps[0][0].shape[1] % (
+        8 * comps[0][2]
+    ):
+        plane, tbl, hs, vs = comps[0]
+        ph = ((plane.shape[0] + 8 * vs - 1) // (8 * vs)) * 8 * vs
+        pw = ((plane.shape[1] + 8 * hs - 1) // (8 * hs)) * 8 * hs
+        plane = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        comps = [(plane, tbl, hs, vs)] + list(comps[1:])
+        mh, mw = ph // (8 * vs), pw // (8 * hs)
+
+    def quantized_block(plane, q, by, bx):
+        blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        F = _T @ blk @ _T.T
+        return np.round(F / q).astype(np.int64).reshape(64)[ZIGZAG]
+
+    n = len(comps)
+    blocks: list[list[np.ndarray]] = [[] for _ in range(n)]
+    freq_dc: dict[int, dict] = {}
+    freq_ac: dict[int, dict] = {}
+    prev = [0] * n
+
+    # pass 1: quantize + frequencies (restart resets DC prediction too)
+    for my in range(mh):
+        for mx in range(mw):
+            mcu = my * mw + mx
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                prev = [0] * n
+            for ci, (plane, tbl, hs, vs) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = quantized_block(
+                            plane, qts[tbl], my * vs + by, mx * hs + bx
+                        )
+                        syms, prev[ci] = _block_symbols(zz, prev[ci])
+                        for kind, s, _amp in syms:
+                            d = freq_dc if kind == "dc" else freq_ac
+                            d.setdefault(tbl, {})
+                            d[tbl][s] = d[tbl].get(s, 0) + 1
+                        blocks[ci].append(zz)
+
+    tables = sorted({c[1] for c in comps})
+    specs = {}
+    for tbl in tables:
+        specs[("dc", tbl)] = build_huffman_spec(freq_dc[tbl])
+        specs[("ac", tbl)] = build_huffman_spec(freq_ac[tbl])
+    codes = {k: huffman_codes(*v) for k, v in specs.items()}
+
+    # pass 2: emit, with RSTn every restart_interval MCUs
+    bw = _BitWriter()
+    prev = [0] * n
+    idx = [0] * n
+    rst = 0
+    out_chunks: list[bytes] = []
+    for my in range(mh):
+        for mx in range(mw):
+            mcu = my * mw + mx
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                out_chunks.append(bytes(bw.out))
+                out_chunks.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) & 7
+                bw = _BitWriter()
+                prev = [0] * n
+            for ci, (_plane, tbl, hs, vs) in enumerate(comps):
+                for _ in range(hs * vs):
+                    zz = blocks[ci][idx[ci]]
+                    idx[ci] += 1
+                    syms, prev[ci] = _block_symbols(zz, prev[ci])
+                    for kind, s, amp in syms:
+                        code, ln = codes[(kind, tbl)][s]
+                        bw.write(code, ln)
+                        size = (s & 0xF) if kind == "ac" else s
+                        if size:
+                            a = amp if amp > 0 else amp + (1 << size) - 1
+                            bw.write(a, size)
+    bw.flush()
+    out_chunks.append(bytes(bw.out))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dqt(tq: int, q: np.ndarray) -> bytes:
+        return seg(
+            0xDB, bytes([tq]) + bytes(int(v) for v in q.reshape(64)[ZIGZAG])
+        )
+
+    def dht(tc: int, th: int, spec: tuple[list[int], list[int]]) -> bytes:
+        bits, huffval = spec
+        return seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(huffval))
+
+    sof_body = struct.pack(">BHHB", 8, h, w, n)
+    sos_body = bytes([n])
+    for ci, (_p, tbl, hs, vs) in enumerate(comps):
+        sof_body += bytes([ci + 1, (hs << 4) | vs, tbl])
+        sos_body += bytes([ci + 1, (tbl << 4) | tbl])
+    sos_body += bytes([0, 63, 0])
+
+    out = b"\xff\xd8"
+    for tbl in tables:
+        out += dqt(tbl, qts[tbl])
+    out += seg(0xC0, sof_body)
+    for tbl in tables:
+        out += dht(0, tbl, specs[("dc", tbl)]) + dht(1, tbl, specs[("ac", tbl)])
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos_body)
+    return out + b"".join(out_chunks) + b"\xff\xd9"

@@ -99,13 +99,17 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     return media_table(base, n=n)
 
 
-def _codec_rgb(mid: int) -> np.ndarray:
+def _codec_rgb(mid: int, flat: bool = False) -> np.ndarray:
     """Deterministic (h, w, 3) image from the id: w = 4 + id%4,
     h = 3 + id%3, pixel (x, y) = ((id*7 + y*13 + x*5) + 11*c) % 256 for
-    channel c in (R,G,B) — pure arithmetic the oracle re-derives in SQL."""
+    channel c in (R,G,B) — pure arithmetic the oracle re-derives in SQL.
+    ``flat=True`` drops the spatial terms (one color per image): the
+    shape on which LOSSY containers (JPEG at quality 100) decode
+    bit-exact, so the oracle contract extends to them."""
     w, h = 4 + mid % 4, 3 + mid % 3
     y, x = np.mgrid[0:h, 0:w]
-    base = (mid * 7 + y * 13 + x * 5)[:, :, None] + np.array([0, 11, 22])
+    spatial = np.zeros_like(y) if flat else y * 13 + x * 5
+    base = (mid * 7 + spatial)[:, :, None] + np.array([0, 11, 22])
     return (base % 256).astype(np.uint8)
 
 
@@ -121,6 +125,7 @@ def codec_media_table(
     n: int = 48,
     id_col: str = "doc_id",
     image_formats: tuple[str, str] = ("bmp", "ppm"),
+    flat: bool = False,
 ) -> DataFrame:
     """Media table with REAL encoded payloads (WAV + two image container
     slots), content derived from the id by pure arithmetic. kind cycles
@@ -130,7 +135,17 @@ def codec_media_table(
     oracle can recompute every decoded feature from the formulas alone —
     a green value-hash is a proof that ``decode_mode="real"`` inverts the
     encoder on real container bytes."""
-    encoders = {"bmp": encode_bmp24, "ppm": encode_ppm, "png": encode_png}
+    def _enc_jpeg(rgb: np.ndarray) -> bytes:
+        from kgspark.jpegcodec import encode_jpeg
+
+        return encode_jpeg(rgb, quality=100)
+
+    encoders = {
+        "bmp": encode_bmp24,
+        "ppm": encode_ppm,
+        "png": encode_png,
+        "jpeg": _enc_jpeg,
+    }
     enc0, enc2 = encoders[image_formats[0]], encoders[image_formats[1]]
     base = docs.filter(F.col(id_col).cast("long") < n).select(
         F.col(id_col).cast("long").alias("media_id")
@@ -148,7 +163,7 @@ def codec_media_table(
                     w = h = None
                     dur = len(s) * 1000 // 8000
                 else:
-                    rgb = _codec_rgb(mid)
+                    rgb = _codec_rgb(mid, flat=flat)
                     payload = (enc0 if mid % 3 == 0 else enc2)(rgb)
                     kind, dur = "image", None
                     h, w = rgb.shape[:2]
@@ -464,6 +479,19 @@ def decode_png(p: bytes) -> list[float]:
     ]
 
 
+def decode_jpeg(p: bytes) -> list[float]:
+    """JPEG feature layout mirrors BMP/PPM/PNG with code 5."""
+    from kgspark.jpegcodec import decode_jpeg_rgb
+
+    rgb = decode_jpeg_rgb(p).astype(np.int64)
+    h, w = rgb.shape[:2]
+    return [
+        5.0, float(w), float(h), float(rgb[:, :, 0].sum()),
+        float(rgb[:, :, 1].sum()), float(rgb[:, :, 2].sum()),
+        float(rgb.max()), float(rgb.min()),
+    ]
+
+
 def decode_rgb(p: bytes) -> np.ndarray:
     """Magic-byte dispatch to a pixel decoder (images only)."""
     if p[:2] == b"BM":
@@ -472,9 +500,13 @@ def decode_rgb(p: bytes) -> np.ndarray:
         return _ppm_rgb(p)
     if p[:8] == PNG_MAGIC:
         return _png_rgb(p)
+    if p[:2] == b"\xff\xd8":
+        from kgspark.jpegcodec import decode_jpeg_rgb
+
+        return decode_jpeg_rgb(p)
     raise NotImplementedError(
         f"no pure-python pixel decoder for payload magic {p[:8]!r} — "
-        "jpeg/webp require PIL; plug the codec in here"
+        "webp/gif require PIL; plug the codec in here"
     )
 
 
@@ -527,6 +559,12 @@ def resize_images(
                             p = encode_bmp24(rgb)
                         elif pb[:8] == PNG_MAGIC:
                             p = encode_png(rgb)
+                        elif pb[:2] == b"\xff\xd8":
+                            from kgspark.jpegcodec import encode_jpeg
+
+                            # quality 100 / 4:4:4: deterministic and
+                            # near-lossless for the normalization step
+                            p = encode_jpeg(rgb, quality=100)
                         else:
                             p = encode_ppm(rgb)
                         w_out, h_out = width, height
@@ -562,6 +600,8 @@ def decode_payload(p: bytes) -> list[float]:
         return decode_ppm(p)
     if p[:8] == PNG_MAGIC:
         return decode_png(p)
+    if p[:2] == b"\xff\xd8":
+        return decode_jpeg(p)
     raise NotImplementedError(
         f"no pure-python decoder for payload magic {p[:8]!r} — this format "
         "requires ffmpeg/PIL; plug the codec in here"

@@ -1314,6 +1314,29 @@ def q_media_resize_png(n: int = 48, rw: int = 4, rh: int = 3) -> str:
 SELECT media_id, 'image' AS kind, {sig} AS feature_sig FROM img"""
 
 
+def q_media_jpeg_roundtrip(n: int = 48, rw: int = 4, rh: int = 3) -> str:
+    """Mirror of codec_media_table(flat=True, jpeg) -> resize -> features:
+    each image is ONE color ((media_id*7 + 11c) % 256 per channel), which
+    JPEG at quality 100 round-trips exactly, so every feature is
+    closed-form — code 5, resized dims, sums = color * rw * rh, extremes
+    = max/min over the three channel colors."""
+    chans = {off: f"((media_id*7 + {off}) % 256)" for off in (0, 11, 22)}
+    sig = (
+        "'5|' || cast({rw} AS VARCHAR) || '|' || cast({rh} AS VARCHAR)"
+        " || '|' || cast({cr} * {npix} AS VARCHAR)"
+        " || '|' || cast({cg} * {npix} AS VARCHAR)"
+        " || '|' || cast({cb} * {npix} AS VARCHAR)"
+        " || '|' || cast(greatest({cr}, {cg}, {cb}) AS VARCHAR)"
+        " || '|' || cast(least({cr}, {cg}, {cb}) AS VARCHAR)"
+    ).format(
+        rw=rw, rh=rh, npix=rw * rh,
+        cr=chans[0], cg=chans[11], cb=chans[22],
+    )
+    return f"""WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < {n})
+SELECT media_id, 'image' AS kind, {sig} AS feature_sig
+FROM ids WHERE media_id % 3 <> 1"""
+
+
 def q_video_frames(n: int = 48, every_ms: int = 5000, dim: int = 8) -> str:
     return f"""WITH m AS (
     SELECT doc_id AS media_id, text, 1000 + (doc_id * 7919) % 59000 AS duration_ms

@@ -637,3 +637,83 @@ def test_resize_images_roundtrip_and_passthrough(spark):
         assert (rgb == expect).all()
         # container preserved: BMP ids stay BMP, PPM ids stay PPM
         assert p[:2] == (b"BM" if mid % 3 == 0 else b"P6")
+
+
+def test_jpeg_codec_roundtrip_tolerances():
+    """Baseline JPEG encode/decode (kgspark/jpegcodec.py): flat blocks at
+    quality 100 are BIT-EXACT through the DCT round-trip; smooth and
+    noisy content stays within the rounding bound; odd shapes crop
+    correctly."""
+    import numpy as np
+
+    from kgspark.jpegcodec import decode_jpeg_rgb, encode_jpeg
+
+    rng = np.random.RandomState(1)
+    flat = np.full((16, 24, 3), 130, dtype=np.uint8)
+    assert (decode_jpeg_rgb(encode_jpeg(flat, quality=100)) == flat).all()
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    grad = np.stack(
+        [(yy * 3) % 256, (xx * 5) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    d = np.abs(
+        decode_jpeg_rgb(encode_jpeg(grad, quality=100)).astype(int)
+        - grad.astype(int)
+    )
+    assert d.max() <= 1
+
+    noise = rng.randint(0, 256, (17, 19, 3), dtype=np.uint8)
+    d = np.abs(
+        decode_jpeg_rgb(encode_jpeg(noise, quality=100)).astype(int)
+        - noise.astype(int)
+    )
+    assert d.max() <= 3
+
+    for shape in [(1, 1), (7, 9), (8, 8), (9, 17)]:
+        img = rng.randint(0, 256, (*shape, 3), dtype=np.uint8)
+        assert decode_jpeg_rgb(encode_jpeg(img, quality=100)).shape == img.shape
+
+
+def test_jpeg_codec_subsampling_gray_restarts():
+    """The decoder paths a crawl actually hits: 4:2:0 chroma subsampling
+    (interleaved MCUs), single-component grayscale, and restart markers
+    (DRI + RSTn with DC predictor resets)."""
+    import numpy as np
+
+    from kgspark.jpegcodec import decode_jpeg_rgb, encode_jpeg
+
+    rng = np.random.RandomState(2)
+    yy, xx = np.mgrid[0:24, 0:32]
+    grad = np.stack(
+        [(yy * 3) % 256, (xx * 5) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+
+    d = np.abs(
+        decode_jpeg_rgb(encode_jpeg(grad, quality=100, subsampling="420"))
+        .astype(int) - grad.astype(int)
+    )
+    assert d.max() <= 8  # chroma box-average cost on a gradient
+
+    g = ((yy * 7 + xx * 3) % 256).astype(np.uint8)
+    dec = decode_jpeg_rgb(encode_jpeg(g, quality=100))
+    assert dec.shape == (24, 32, 3)
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+
+    for sub in ("444", "420"):
+        enc = encode_jpeg(grad, quality=100, subsampling=sub, restart_interval=2)
+        assert b"\xff\xdd" in enc
+        dec = decode_jpeg_rgb(enc)
+        tol = 1 if sub == "444" else 8
+        assert np.abs(dec.astype(int) - grad.astype(int)).max() <= tol
+
+    noise = rng.randint(0, 256, (33, 41, 3), dtype=np.uint8)
+    dec = decode_jpeg_rgb(encode_jpeg(noise, quality=100, restart_interval=3))
+    assert np.abs(dec.astype(int) - noise.astype(int)).max() <= 3
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        # progressive JPEG raises at the disclosed seam: hand-build a
+        # minimal SOF2 header
+        decode_jpeg_rgb(b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00")
