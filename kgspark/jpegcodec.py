@@ -467,13 +467,14 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
 ) -> bytes:
-    """(h, w, 3) or (h, w) uint8 -> baseline JPEG (4:4:4, 4:2:0, or
-    grayscale) with per-image optimized Huffman tables (two-pass) — no
-    external tables, fully deterministic. The 4:2:0 path box-averages
-    chroma and interleaves MCUs exactly as the decoder's sampling-factor
+    """(h, w, 3) or (h, w) uint8 -> baseline JPEG (4:4:4, 4:2:2, 4:2:0,
+    or grayscale) with per-image optimized Huffman tables (two-pass) —
+    no external tables, fully deterministic. Subsampled paths box-average
+    chroma and interleave MCUs exactly as the decoder's sampling-factor
     loop expects; ``restart_interval`` > 0 emits DRI + RSTn markers
     every that many MCUs (byte-aligned, DC predictors reset)."""
-    if subsampling not in ("444", "420"):
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsampling not in factors:
         raise ValueError(f"unknown subsampling {subsampling!r}")
     if rgb.ndim == 2:
         return _encode_jpeg_components(
@@ -481,17 +482,16 @@ def encode_jpeg(
             rgb.shape[0], rgb.shape[1], quality, restart_interval,
         )
     h, w = rgb.shape[:2]
-    ql, qc = quality_tables(quality)
     x = rgb.astype(np.float64)
     R, G, B = x[:, :, 0], x[:, :, 1], x[:, :, 2]
     Y = 0.299 * R + 0.587 * G + 0.114 * B
     Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
     Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
 
-    ys = 2 if subsampling == "420" else 1  # luma sampling factor (h = v)
-    mcu_px = 8 * ys
-    mh = (h + mcu_px - 1) // mcu_px
-    mw = (w + mcu_px - 1) // mcu_px
+    hs, vs = factors[subsampling]  # luma sampling factors
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    mh = (h + mcu_h - 1) // mcu_h
+    mw = (w + mcu_w - 1) // mcu_w
 
     def pad_to(plane: np.ndarray, th: int, tw: int) -> np.ndarray:
         return np.pad(
@@ -500,18 +500,15 @@ def encode_jpeg(
             mode="edge",
         )
 
-    Yp = pad_to(Y, mh * mcu_px, mw * mcu_px)
-    if ys == 2:  # box-average 2x2 chroma
-        Cbp = pad_to(Cb, mh * mcu_px, mw * mcu_px)
-        Crp = pad_to(Cr, mh * mcu_px, mw * mcu_px)
-        Cbp = Cbp.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
-        Crp = Crp.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
-    else:
-        Cbp = pad_to(Cb, mh * 8, mw * 8)
-        Crp = pad_to(Cr, mh * 8, mw * 8)
+    Yp = pad_to(Y, mh * mcu_h, mw * mcu_w)
+    Cbp = pad_to(Cb, mh * mcu_h, mw * mcu_w)
+    Crp = pad_to(Cr, mh * mcu_h, mw * mcu_w)
+    if (hs, vs) != (1, 1):  # box-average chroma down to one 8x8 per MCU
+        Cbp = Cbp.reshape(mh * 8, vs, mw * 8, hs).mean(axis=(1, 3))
+        Crp = Crp.reshape(mh * 8, vs, mw * 8, hs).mean(axis=(1, 3))
 
     return _encode_jpeg_components(
-        [(Yp, 0, ys, ys), (Cbp, 1, 1, 1), (Crp, 1, 1, 1)],
+        [(Yp, 0, hs, vs), (Cbp, 1, 1, 1), (Crp, 1, 1, 1)],
         h, w, quality, restart_interval,
     )
 

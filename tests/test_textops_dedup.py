@@ -700,7 +700,10 @@ def test_jpeg_codec_subsampling_gray_restarts():
     assert (dec[:, :, 0] == dec[:, :, 1]).all()
     assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 1
 
-    for sub in ("444", "420"):
+    flat = np.full((16, 24, 3), 77, dtype=np.uint8)
+    for sub in ("444", "422", "420"):
+        # flat is exact under every sampling layout
+        assert (decode_jpeg_rgb(encode_jpeg(flat, 100, subsampling=sub)) == flat).all()
         enc = encode_jpeg(grad, quality=100, subsampling=sub, restart_interval=2)
         assert b"\xff\xdd" in enc
         dec = decode_jpeg_rgb(enc)
