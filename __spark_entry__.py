@@ -979,6 +979,28 @@ def q_media_png_resize(spark, sf_dir):
     )
 
 
+def q_media_gif_resize(spark, sf_dir):
+    """GIF real-codec path (kgspark/gifcodec.py — LZW from the GIF spec):
+    gradient id-derived pixels (<=35 distinct colors, so GIF is LOSSLESS)
+    -> GIF encode -> LZW decode -> integer nearest-neighbor resize ->
+    GIF re-encode -> decode -> feature stats. Same closed-form oracle as
+    the PNG twin with feature code 6."""
+    from kgspark.multimodal import codec_media_table, resize_images
+
+    media = codec_media_table(
+        _docs(spark, sf_dir), n=48, image_formats=("gif", "gif")
+    )
+    resized = resize_images(media.filter(F.col("kind") == "image"), width=4, height=3)
+    feats = extract_features(resized, decode_mode="real")
+    return feats.select(
+        "media_id", "kind",
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: x.cast("bigint").cast("string")),
+            "|",
+        ).alias("feature_sig"),
+    )
+
+
 def q_media_jpeg_roundtrip(spark, sf_dir):
     """Baseline JPEG real-codec path (kgspark/jpegcodec.py — pure-numpy
     DCT + canonical Huffman from the T.81 spec): flat-color id-derived
@@ -1066,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_real": q_media_resize,
         "media_png_resize": q_media_png_resize,
         "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
+        "media_gif_resize": q_media_gif_resize,
         "video_frame_sample": q_video_frames,
         "align_tokens": q_align_tokens,
         "align_tokens_exact": q_align_exact,
@@ -1178,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize_real": oracles.q_media_resize(n=48, rw=4, rh=3),
         "media_png_resize": oracles.q_media_resize_png(n=48, rw=4, rh=3),
         "media_jpeg_roundtrip": oracles.q_media_jpeg_roundtrip(n=48, rw=4, rh=3),
+        "media_gif_resize": oracles.q_media_resize_png(n=48, rw=4, rh=3, code=6),
         "video_frame_sample": oracles.q_video_frames(n=48, every_ms=5000),
         "tei_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 50",
         "ann_lsh_bucketed": oracles.q_ann_lsh(n_tables=8, multiprobe=True),

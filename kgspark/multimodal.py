@@ -140,11 +140,17 @@ def codec_media_table(
 
         return encode_jpeg(rgb, quality=100)
 
+    def _enc_gif(rgb: np.ndarray) -> bytes:
+        from kgspark.gifcodec import encode_gif
+
+        return encode_gif(rgb)
+
     encoders = {
         "bmp": encode_bmp24,
         "ppm": encode_ppm,
         "png": encode_png,
         "jpeg": _enc_jpeg,
+        "gif": _enc_gif,
     }
     enc0, enc2 = encoders[image_formats[0]], encoders[image_formats[1]]
     base = docs.filter(F.col(id_col).cast("long") < n).select(
@@ -492,6 +498,19 @@ def decode_jpeg(p: bytes) -> list[float]:
     ]
 
 
+def decode_gif(p: bytes) -> list[float]:
+    """GIF feature layout mirrors the other images with code 6."""
+    from kgspark.gifcodec import decode_gif_rgb
+
+    rgb = decode_gif_rgb(p).astype(np.int64)
+    h, w = rgb.shape[:2]
+    return [
+        6.0, float(w), float(h), float(rgb[:, :, 0].sum()),
+        float(rgb[:, :, 1].sum()), float(rgb[:, :, 2].sum()),
+        float(rgb.max()), float(rgb.min()),
+    ]
+
+
 def decode_rgb(p: bytes) -> np.ndarray:
     """Magic-byte dispatch to a pixel decoder (images only)."""
     if p[:2] == b"BM":
@@ -504,9 +523,13 @@ def decode_rgb(p: bytes) -> np.ndarray:
         from kgspark.jpegcodec import decode_jpeg_rgb
 
         return decode_jpeg_rgb(p)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        from kgspark.gifcodec import decode_gif_rgb
+
+        return decode_gif_rgb(p)
     raise NotImplementedError(
         f"no pure-python pixel decoder for payload magic {p[:8]!r} — "
-        "webp/gif require PIL; plug the codec in here"
+        "webp requires PIL; plug the codec in here"
     )
 
 
@@ -565,6 +588,10 @@ def resize_images(
                             # quality 100 / 4:4:4: deterministic and
                             # near-lossless for the normalization step
                             p = encode_jpeg(rgb, quality=100)
+                        elif pb[:6] in (b"GIF87a", b"GIF89a"):
+                            from kgspark.gifcodec import encode_gif
+
+                            p = encode_gif(rgb)
                         else:
                             p = encode_ppm(rgb)
                         w_out, h_out = width, height
@@ -602,6 +629,8 @@ def decode_payload(p: bytes) -> list[float]:
         return decode_png(p)
     if p[:2] == b"\xff\xd8":
         return decode_jpeg(p)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(p)
     raise NotImplementedError(
         f"no pure-python decoder for payload magic {p[:8]!r} — this format "
         "requires ffmpeg/PIL; plug the codec in here"

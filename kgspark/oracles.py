@@ -1277,11 +1277,14 @@ def q_media_resize(n: int = 48, rw: int = 4, rh: int = 3) -> str:
 SELECT media_id, 'image' AS kind, n_bytes, {sig} AS feature_sig FROM img"""
 
 
-def q_media_resize_png(n: int = 48, rw: int = 4, rh: int = 3) -> str:
+def q_media_resize_png(n: int = 48, rw: int = 4, rh: int = 3, code: int = 4) -> str:
     """PNG twin of q_media_resize: both image slots are PNG containers
     (code 4). n_bytes is omitted — a DEFLATE stream's length is not
     closed-form in media_id — so the hash pins every resized pixel
-    through inflate -> unfilter -> resample -> deflate -> inflate."""
+    through inflate -> unfilter -> resample -> deflate -> inflate.
+    ``code=6`` reuses the identical mirror for the GIF container (LZW is
+    lossless on the <=256-color gradient images, so the same closed-form
+    pixel arithmetic applies)."""
     w, h = "(4 + (media_id % 4))", "(3 + (media_id % 3))"
 
     def chan(off: int) -> str:
@@ -1303,7 +1306,7 @@ def q_media_resize_png(n: int = 48, rw: int = 4, rh: int = 3) -> str:
         f"list_aggregate({chan(22)}, 'min')) AS mn"
     )
     sig = (
-        "'4|' || cast(w AS VARCHAR) || '|' || cast(h AS VARCHAR)"
+        f"'{code}|' || cast(w AS VARCHAR) || '|' || cast(h AS VARCHAR)"
         " || '|' || cast(sr AS VARCHAR) || '|' || cast(sg AS VARCHAR) || '|' || cast(sb AS VARCHAR)"
         " || '|' || cast(mx AS VARCHAR) || '|' || cast(mn AS VARCHAR)"
     )

@@ -720,3 +720,45 @@ def test_jpeg_codec_subsampling_gray_restarts():
         # progressive JPEG raises at the disclosed seam: hand-build a
         # minimal SOF2 header
         decode_jpeg_rgb(b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00")
+
+
+def test_gif_codec_lzw_and_container():
+    """GIF LZW + container round-trips: table resets on long streams,
+    interlaced row order, palette padding, extension-block skipping, the
+    >256-color encode guard."""
+    import struct
+
+    import numpy as np
+
+    from kgspark.gifcodec import (
+        decode_gif_rgb,
+        encode_gif,
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = np.random.RandomState(4)
+    for stream in ([0], [1, 1, 1, 1],
+                   [int(v) for v in rng.randint(0, 16, 5000)], [3] * 10000):
+        assert lzw_decode(lzw_encode(stream, 4), 4) == stream
+
+    for (h, w, ncol) in [(1, 1, 1), (3, 4, 5), (9, 11, 37), (24, 31, 256)]:
+        pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.randint(0, ncol, (h, w))]
+        for inter in (False, True):
+            assert np.array_equal(
+                decode_gif_rgb(encode_gif(img, interlace=inter)), img
+            )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_gif(rng.randint(0, 256, (20, 20, 3), dtype=np.uint8))
+
+    # graphic-control + comment extensions before the frame are skipped
+    pal = rng.randint(0, 256, (8, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, 8, (5, 7))]
+    enc = encode_gif(img)
+    at = enc.index(b"\x2c")
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00" + b"\x21\xfe\x05hello\x00"
+    assert np.array_equal(decode_gif_rgb(enc[:at] + gce + enc[at:]), img)
