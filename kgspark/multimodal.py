@@ -16,10 +16,14 @@ through Python row objects. Two decode modes:
   arithmetic, so the DuckDB oracle re-derives every feature from the same
   formulas WITHOUT touching bytes: a green hash proves decode inverts
   encode (``media_features_real``). Real containers covered pure-python:
-  PCM16 WAV, 24bpp BMP, P6 PPM, and PNG (stdlib zlib inflate + all five
-  scanline filters; color types gray/RGB/palette/RGBA at bit depth 8).
-  Formats genuinely needing ffmpeg/PIL (mp4/jpeg/mp3/webp, interlaced or
-  16-bit PNG) still raise NotImplementedError at the codec seam.
+  PCM16 WAV, 24bpp BMP, P6 PPM, PNG (stdlib zlib inflate + all five
+  scanline filters, gray/RGB/palette/RGBA at depth 8, null + Adam7
+  interlace), baseline JPEG (``kgspark.jpegcodec`` — T.81 sequential
+  DCT, the file's own Huffman/quant tables, 4:4:4/4:2:2/4:2:0/gray,
+  restart markers), and GIF87a/89a (``kgspark.gifcodec`` — LZW,
+  interlace, palettes). Formats genuinely needing ffmpeg/PIL
+  (mp4/mp3/webp, progressive JPEG, 16-bit PNG) still raise
+  NotImplementedError at the codec seam.
 """
 
 from __future__ import annotations
