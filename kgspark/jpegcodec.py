@@ -270,6 +270,9 @@ def decode_jpeg_rgb(p: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = p[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
