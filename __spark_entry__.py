@@ -565,6 +565,21 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization (textops.normalize_unicode, Arrow-batched
+    unicodedata): combining sequences injected into every doc ('a' ->
+    'a' + U+0301) must compose to the precomposed code point (U+00E1).
+    Oracle: DuckDB's nfc_normalize on the same injected text."""
+    from kgspark.textops import normalize_unicode
+
+    docs = _docs(spark, sf_dir)
+    injected = F.regexp_replace(F.col("text"), "a", "a\u0301")
+    return docs.select(
+        "doc_id",
+        normalize_unicode(injected, "NFC").alias("text_nfc"),
+    )
+
+
 def q_uniform_sample(spark, sf_dir):
     """Global exact-n uniform sample as distributed TakeOrdered on the
     md5 hash (no global sort, no single-partition window)."""
@@ -1076,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "quantize_embeddings": q_quantize_embeddings,
         "cwb_compressed": q_cwb_compressed,
+        "unicode_nfc": q_unicode_nfc,
         "warc_cc_roundtrip": q_warc_cc_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
         "unigram_logprob": q_unigram_logprob,
@@ -1170,6 +1186,10 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": oracles.q_pack_chunks(budget=2048, n_shards=8),
         "quantize_embeddings": oracles.q_quantize_embeddings(),
         "cwb_compressed": "SELECT doc_id, text FROM documents WHERE doc_id < 60",
+        "unicode_nfc": (
+            "SELECT doc_id, nfc_normalize(replace(text, 'a', 'a' || chr(769)))"
+            " AS text_nfc FROM documents"
+        ),
         "warc_cc_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 100",
         "warc_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 100",
         "unigram_logprob": oracles.q_unigram_logprob(),

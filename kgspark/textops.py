@@ -331,3 +331,32 @@ def url_normalize(col: Column) -> Column:
     path = F.regexp_replace(F.regexp_extract(col, _PATH_RE, 1), "/$", "")
     return F.when(scheme == "", F.lit("")).otherwise(
         F.concat(scheme, F.lit("://"), url_host(col), path))
+
+
+def normalize_unicode(col: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonical first
+    cleaning pass on a real crawl (combining sequences, compatibility
+    forms, mojibake artifacts) BEFORE fingerprinting/dedup, so visually
+    identical pages hash identically.
+
+    The one textops operator that is a UDF: the JVM has no normalizer
+    exposed through pyspark.sql.functions, so this is an Arrow-batched
+    pandas UDF over unicodedata (C-implemented, ~1 GB/s per core) — a
+    narrow per-row map with zero shuffle implications. The DuckDB oracle
+    is nfc_normalize()."""
+    import unicodedata
+
+    import pandas  # noqa: F401 — resolves the UDF's string annotations
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm(s):
+        return s.map(
+            lambda v: unicodedata.normalize(form, v) if v is not None else None
+        )
+
+    _norm.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    return pandas_udf(T.StringType())(_norm)(col)

@@ -762,3 +762,24 @@ def test_gif_codec_lzw_and_container():
     at = enc.index(b"\x2c")
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00" + b"\x21\xfe\x05hello\x00"
     assert np.array_equal(decode_gif_rgb(enc[:at] + gce + enc[at:]), img)
+
+
+def test_normalize_unicode_forms(spark):
+    """NFC composes combining sequences; NFKC folds compatibility forms
+    (ligature fi -> fi); invalid form raises; NULLs pass through."""
+    import pytest
+
+    from kgspark.textops import normalize_unicode
+
+    df = spark.createDataFrame(
+        [(1, "áb"), (2, "ﬁle"), (3, None)],
+        "doc_id long, text string",
+    )
+    nfc = {r["doc_id"]: r["t"] for r in df.select(
+        "doc_id", normalize_unicode(F.col("text"), "NFC").alias("t")).collect()}
+    assert nfc[1] == "áb" and nfc[2] == "ﬁle" and nfc[3] is None
+    nfkc = {r["doc_id"]: r["t"] for r in df.select(
+        "doc_id", normalize_unicode(F.col("text"), "NFKC").alias("t")).collect()}
+    assert nfkc[2] == "file"
+    with pytest.raises(ValueError):
+        normalize_unicode(F.col("text"), "XXX")
