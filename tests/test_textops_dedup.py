@@ -777,7 +777,9 @@ def test_normalize_unicode_forms(spark):
     )
     nfc = {r["doc_id"]: r["t"] for r in df.select(
         "doc_id", normalize_unicode(F.col("text"), "NFC").alias("t")).collect()}
-    assert nfc[1] == "áb" and nfc[2] == "ﬁle" and nfc[3] is None
+    assert nfc[1] == "\u00e1b"          # composed to precomposed
+    assert nfc[2] == "\ufb01le"         # NFC keeps compatibility chars
+    assert nfc[3] is None
     nfkc = {r["doc_id"]: r["t"] for r in df.select(
         "doc_id", normalize_unicode(F.col("text"), "NFKC").alias("t")).collect()}
     assert nfkc[2] == "file"
