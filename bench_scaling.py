@@ -437,6 +437,16 @@ for that regime and meets the >=0.8 target.
 {wide_note}"""
 
 
+def _extra_sections() -> str:
+    """Hand-written study sections (A/B runs, recall knees, ...) live in
+    BENCH/EXTRA_SECTIONS.md so regenerating this file keeps them."""
+    path = os.path.join(HERE, "BENCH", "EXTRA_SECTIONS.md")
+    if os.path.exists(path):
+        with open(path) as fh:
+            return fh.read().rstrip() + "\n\n"
+    return ""
+
+
 def _skew_section() -> str:
     """Giant-document skew evidence from bench_skew.py, if present."""
     path = os.path.join(HERE, "BENCH", "SKEW.json")
@@ -524,7 +534,7 @@ sandbox stand-in for N vs 4N executors).
   default: streaming 128MB x N right before a timed pass evicts the live
   JVMs' page cache and perturbs the very measurement it calibrates.)
 
-{sections}{_skew_section()}
+{sections}{_skew_section()}{_extra_sections()}
 **Why the low pair is the primary 4x evidence**: at 2->8 the box still
 has idle cores, so the step isolates the PIPELINE's scaling behavior
 (shuffle fan-in, task skew, driver barriers) — exactly what transfers to
