@@ -1,25 +1,33 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT) codec — pure python + numpy.
+"""JPEG (ITU-T T.81) codec — pure python + numpy, baseline AND progressive.
 
 The biggest real-crawl image format, implemented from the public spec so
 `kgspark.multimodal` can feature-extract and resize actual web images
 with no PIL/libjpeg dependency:
 
 - **decode** (`decode_jpeg_rgb`): marker walk (SOI/APPn/COM/DQT/DHT/
-  SOF0/SOF1/DRI/SOS/EOI), Huffman tables read from the FILE's own DHT
-  segments (so any baseline JPEG decodes, not just ours), 8/16-bit DQT,
-  interleaved MCU scan with byte unstuffing and restart-marker DC
-  resets, arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, grayscale),
-  dequant -> dezigzag -> vectorized 8x8 IDCT (one matrix product per
-  block batch) -> chroma replication upsample -> YCbCr->RGB.
-  Progressive JPEG (SOF2) raises at the disclosed seam.
-- **encode** (`encode_jpeg`): 4:4:4 baseline with per-image OPTIMIZED
-  Huffman tables (two-pass: symbol frequencies -> canonical
+  SOF0/SOF1/SOF2/DRI/SOS/EOI), Huffman tables read from the FILE's own
+  DHT segments (so any real-world JPEG decodes, not just ours), 8/16-bit
+  DQT, byte unstuffing, restart markers, arbitrary sampling factors
+  (4:4:4, 4:2:2, 4:2:0, grayscale). Coefficients accumulate across
+  scans, which makes PROGRESSIVE (SOF2) a first-class path: spectral
+  selection, successive approximation (DC bit refinement, AC refinement
+  with correction bits), EOB runs, interleaved DC / non-interleaved AC
+  scans. Reconstruction is one vectorized dequant -> dezigzag -> 8x8
+  IDCT pass (einsum over all blocks) -> chroma replication -> YCbCr->RGB.
+  Lossless/arithmetic/hierarchical SOFs raise at the disclosed seam.
+- **encode** (`encode_jpeg`, `encode_jpeg_progressive`): 4:4:4/4:2:2/
+  4:2:0/gray baseline and 4:4:4/gray progressive, with per-image
+  OPTIMIZED Huffman tables (two-pass: symbol frequencies -> canonical
   length-limited code, the libjpeg "optimize coding" path — no Annex K
-  tables hardcoded anywhere), standard zigzag, byte stuffing,
-  quality-scaled quantization (quality=100 -> all-ones tables, where
-  DCT round-trip error is <=1/pixel and flat blocks are EXACT).
+  tables hardcoded anywhere), quality-scaled quantization (quality=100
+  -> all-ones tables, where DCT round-trip error is <=1/pixel and flat
+  blocks are EXACT). The progressive encoder emits token streams that
+  mirror the decoder's exact consumption order, so every progressive
+  decode path has in-repo test vectors. Invariant pinned by tests:
+  progressive and baseline encode the SAME coefficients, so their
+  decodes are bit-identical at equal quality.
 
-The encoder exists for fixtures and the resize re-encode path; the
+The encoders exist for fixtures and the resize re-encode path; the
 decoder is the production surface. Scale shape: both run inside
 Arrow-batched kernels (`multimodal.extract_features` / `resize_images`)
 — per-payload work, partition-parallel, no shuffle implications.
@@ -251,8 +259,116 @@ def _extend(v: int, size: int) -> int:
 # Decoder
 
 
+class _ScanState:
+    """Mutable entropy-decode state shared across one scan's blocks."""
+
+    __slots__ = ("pred", "eobrun")
+
+    def __init__(self, n: int) -> None:
+        self.pred = [0] * n
+        self.eobrun = 0
+
+    def reset(self) -> None:  # restart-marker semantics
+        self.pred = [0] * len(self.pred)
+        self.eobrun = 0
+
+
+def _decode_block(
+    br: "_BitReader",
+    coefs: np.ndarray,
+    st: _ScanState,
+    ci: int,
+    dc: "_HuffDecoder | None",
+    ac: "_HuffDecoder | None",
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Decode one block's contribution of one scan into its zigzag-order
+    coefficient vector — baseline (ss=0, se=63, ah=al=0) and all four
+    progressive scan kinds (T.81 G.2)."""
+    if ss == 0 and ah == 0:  # DC first (or baseline start)
+        size = dc.decode(br)
+        diff = _extend(br.receive(size), size) if size else 0
+        st.pred[ci] += diff
+        coefs[0] = st.pred[ci] << al
+        k = 1
+    elif ss == 0:  # DC refinement: one raw bit
+        if br.read_bit():
+            coefs[0] |= 1 << al
+        return
+    else:
+        k = ss
+    if se == 0:
+        return  # DC-only scan
+
+    if ah == 0:  # first scan of this band (baseline AC is the al=0 case)
+        if st.eobrun > 0:
+            st.eobrun -= 1
+            return
+        while k <= se:
+            rs = ac.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                if r:  # EOBn: run of end-of-bands (progressive only)
+                    st.eobrun = (1 << r) - 1 + br.receive(r)
+                break  # EOB
+            k += r
+            if k > se:
+                raise ValueError("corrupt JPEG: AC overrun")
+            coefs[k] = _extend(br.receive(s), s) << al
+            k += 1
+        return
+
+    # AC refinement (ah > 0): correction bits for known coefficients,
+    # +-1<<al for newly significant ones, EOB runs carry correction bits.
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(kk: int) -> None:
+        if br.read_bit() and (abs(int(coefs[kk])) & p1) == 0:
+            coefs[kk] += p1 if coefs[kk] >= 0 else m1
+
+    if st.eobrun == 0:
+        while k <= se:
+            rs = ac.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    st.eobrun = (1 << r) + (br.receive(r) if r else 0)
+                    break
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                if coefs[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coefs[k] = newval
+            k += 1
+    if st.eobrun > 0:
+        while k <= se:
+            if coefs[k] != 0:
+                correct(k)
+            k += 1
+        st.eobrun -= 1
+
+
 def decode_jpeg_rgb(p: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB."""
+    """JPEG bytes -> (h, w, 3) uint8 RGB — baseline (SOF0/1) AND
+    progressive (SOF2: spectral selection + successive approximation,
+    interleaved DC scans, non-interleaved AC scans, EOB runs, refinement
+    correction bits, restart markers). Coefficients accumulate across
+    scans; dequant + IDCT run once at the end."""
     if p[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -262,8 +378,8 @@ def decode_jpeg_rgb(p: bytes) -> np.ndarray:
     comps: list[dict] = []
     w = h = 0
     restart_interval = 0
-    scan_pos = -1
-    scan_map: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
+    coefs: list[np.ndarray] | None = None
+    hmax = vmax = mcux = mcuy = 0
 
     while pos < len(p):
         if p[pos] != 0xFF:
@@ -304,90 +420,96 @@ def decode_jpeg_rgb(p: bytes) -> np.ndarray:
                 dec = _HuffDecoder(bits, huffval)
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
                 sp += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for i in range(nc):
                 cid, sf, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append(
-                    {"id": cid, "hs": sf >> 4, "vs": sf & 0xF, "tq": tq}
-                )
-        elif marker == 0xC2:
+                comps.append({"id": cid, "hs": sf >> 4, "vs": sf & 0xF, "tq": tq})
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [
+                np.zeros((mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int64)
+                for c in comps
+            ]
+        elif marker in (0xC3,) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
             raise NotImplementedError(
-                "progressive JPEG (SOF2) is not decoded without libjpeg"
+                f"JPEG SOF marker 0x{marker:02x} (lossless/arithmetic/"
+                "hierarchical) is not decoded without libjpeg"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — entropy-decode this scan
+            if coefs is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
             scan_map = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]
-                ci = next(
-                    j for j, c in enumerate(comps) if c["id"] == cs
-                )
+                ci = next(j for j, c in enumerate(comps) if c["id"] == cs)
                 scan_map.append((ci, tt >> 4, tt & 0xF))
-            scan_pos = pos + seglen
-            break
-        pos += seglen
-    if scan_pos < 0 or not comps:
-        raise ValueError("corrupt JPEG: no scan")
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            br = _BitReader(p, pos + seglen)
+            st = _ScanState(len(comps))
 
-    hmax = max(c["hs"] for c in comps)
-    vmax = max(c["vs"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = []
-    for c in comps:
-        planes.append(
-            np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8), dtype=np.float64)
-        )
+            def maybe_restart(unit: int) -> None:
+                if restart_interval and unit and unit % restart_interval == 0:
+                    br.align_to_marker()
+                    m = br.at_marker()
+                    if m is not None and 0xD0 <= m <= 0xD7:
+                        br.pos += 2
+                        st.reset()
 
-    br = _BitReader(p, scan_pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_to_marker()
-                m = br.at_marker()
-                if m is not None and 0xD0 <= m <= 0xD7:
-                    br.pos += 2
-                    pred = [0] * len(comps)
-            for (ci, dc_id, ac_id) in scan_map:
+            if len(scan_map) > 1:  # interleaved (baseline full / prog DC)
+                for mcu in range(mcuy * mcux):
+                    maybe_restart(mcu)
+                    my, mx = divmod(mcu, mcux)
+                    for (ci, dc_id, ac_id) in scan_map:
+                        c = comps[ci]
+                        for by in range(c["vs"]):
+                            for bx in range(c["hs"]):
+                                _decode_block(
+                                    br,
+                                    coefs[ci][my * c["vs"] + by, mx * c["hs"] + bx],
+                                    st, ci,
+                                    huff_dc.get(dc_id), huff_ac.get(ac_id),
+                                    ss, se, ah, al,
+                                )
+            else:  # non-interleaved: the component's own block grid
+                ci, dc_id, ac_id = scan_map[0]
                 c = comps[ci]
-                q = qt[c["tq"]]
-                for by in range(c["vs"]):
-                    for bx in range(c["hs"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = huff_dc[dc_id].decode(br)
-                        diff = _extend(br.receive(size), size) if size else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = huff_ac[ac_id].decode(br)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("corrupt JPEG: AC overrun")
-                            zz[k] = _extend(br.receive(s), s)
-                            k += 1
-                        blk = np.zeros(64, dtype=np.int64)
-                        blk[ZIGZAG] = zz
-                        F = blk.reshape(8, 8) * q
-                        pix = _T.T @ F @ _T + 128.0
-                        y0 = (my * c["vs"] + by) * 8
-                        x0 = (mx * c["hs"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
-            mcu_count += 1
+                cw = (w * c["hs"] + 8 * hmax - 1) // (8 * hmax)
+                ch_ = (h * c["vs"] + 8 * vmax - 1) // (8 * vmax)
+                for blk in range(ch_ * cw):
+                    maybe_restart(blk)
+                    by, bx = divmod(blk, cw)
+                    _decode_block(
+                        br, coefs[ci][by, bx], st, ci,
+                        huff_dc.get(dc_id), huff_ac.get(ac_id),
+                        ss, se, ah, al,
+                    )
+            br.align_to_marker()
+            pos = br.pos
+            continue
+        pos += seglen
+    if coefs is None:
+        raise ValueError("corrupt JPEG: no frame")
 
-    # upsample to full resolution by replication, crop, color-convert
+    # reconstruct: dequant + dezigzag + IDCT per block, batched in numpy
+    planes = []
+    for c, cf in zip(comps, coefs):
+        q = qt[c["tq"]].reshape(64)[ZIGZAG]  # quant in zigzag order
+        rows, cols = cf.shape[:2]
+        blk = np.zeros((rows, cols, 64), dtype=np.float64)
+        blk[:, :, ZIGZAG] = cf * q  # dezigzag + dequant in one shot
+        B = blk.reshape(rows, cols, 8, 8)
+        pix = np.einsum("ux,rcxy,yv->rcuv", _T.T, B, _T) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
+        planes.append(plane)
+
     full = []
     for c, plane in zip(comps, planes):
         ry, rx = vmax // c["vs"], hmax // c["hs"]
@@ -644,3 +766,238 @@ def _encode_jpeg_components(
         out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, sos_body)
     return out + b"".join(out_chunks) + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (4:4:4 / grayscale) — spectral selection + successive
+# approximation, used as the test-vector source for the progressive decoder
+# (no external JPEGs in the sandbox). Token streams are generated by
+# MIRRORING the decoder's walk exactly (symbol, then sign bit, then the
+# correction bits of nonzero-history coefficients crossed), so the pair is
+# self-consistent by construction and the decoder paths (EOB runs, ZRL in
+# refinement, interleaved correction bits) all get exercised.
+
+
+def _tokens_dc_first(zz0: int, pred: int, al: int) -> tuple[list, int]:
+    v = zz0 >> al  # arithmetic shift: T.81 DC point transform
+    diff = v - pred
+    s = _csize(diff)
+    toks = [("sym", s)]
+    if s:
+        a = diff if diff > 0 else diff + (1 << s) - 1
+        toks.append(("bits", a, s))
+    return toks, v
+
+
+def _tokens_ac_first(band: np.ndarray, ss: int, al: int) -> list:
+    toks = []
+    r = 0
+    for k in range(len(band)):
+        t = int(band[k])
+        mag = abs(t) >> al
+        if mag == 0:
+            r += 1
+            continue
+        while r > 15:
+            toks.append(("sym", 0xF0))
+            r -= 16
+        s = mag.bit_length()
+        toks.append(("sym", (r << 4) | s))
+        amp = mag if t > 0 else -mag
+        a = amp if amp > 0 else amp + (1 << s) - 1
+        toks.append(("bits", a, s))
+        r = 0
+    if r > 0:
+        toks.append(("sym", 0x00))  # EOB (run length 1, no extra bits)
+    return toks
+
+
+def _tokens_ac_refine(band: np.ndarray, al: int) -> list:
+    """Refinement tokens in the decoder's exact consumption order."""
+    absv = [abs(int(t)) >> al for t in band]
+    n = len(band)
+    toks = []
+    k = 0
+    while k < n:
+        j, r, nxt = k, 0, None
+        while j < n:
+            if absv[j] == 1:
+                nxt = j
+                break
+            if absv[j] == 0:
+                r += 1
+            j += 1
+        if nxt is None:
+            if k < n:  # trailing positions -> EOB(1) + their corrections
+                toks.append(("sym", 0x00))
+                for q in range(k, n):
+                    if absv[q] > 1:
+                        toks.append(("bits", absv[q] & 1, 1))
+            break
+        while r > 15:  # ZRL: decoder skips 16 zero-history positions
+            toks.append(("sym", 0xF0))
+            skipped = 0
+            while skipped < 16:
+                if absv[k] == 0:
+                    skipped += 1
+                elif absv[k] > 1:
+                    toks.append(("bits", absv[k] & 1, 1))
+                k += 1
+            r -= 16
+        toks.append(("sym", (r << 4) | 1))
+        toks.append(("bits", 1 if band[nxt] > 0 else 0, 1))
+        while k < nxt:
+            if absv[k] > 1:
+                toks.append(("bits", absv[k] & 1, 1))
+            k += 1
+        k = nxt + 1
+    return toks
+
+
+def encode_jpeg_progressive(
+    rgb: np.ndarray, quality: int = 90, al: int = 1
+) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> progressive JPEG (SOF2), 4:4:4:
+    interleaved DC-first scan at Al=`al` + DC refinement bits, then per
+    component AC spectral bands (1-5, 6-63) at Al=`al` followed by the
+    matching refinement scans down to Al=0."""
+    gray = rgb.ndim == 2
+    h, w = rgb.shape[:2]
+    ql, qc = quality_tables(quality)
+    if gray:
+        planes = [rgb.astype(np.float64)]
+        tbls = [0]
+    else:
+        x = rgb.astype(np.float64)
+        R, G, B = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+        planes = [
+            0.299 * R + 0.587 * G + 0.114 * B,
+            -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0,
+            0.5 * R - 0.418688 * G - 0.081312 * B + 128.0,
+        ]
+        tbls = [0, 1, 1]
+    qts = {0: ql, 1: qc}
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    bh, bw = ph // 8, pw // 8
+    coefs = []
+    for plane, tbl in zip(planes, tbls):
+        pad = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        cc = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                F = _T @ blk @ _T.T
+                cc[by, bx] = np.round(F / qts[tbl]).astype(np.int64).reshape(
+                    64
+                )[ZIGZAG]
+        coefs.append(cc)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dqt(tq: int, q: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tq]) + bytes(int(v) for v in q.reshape(64)[ZIGZAG]))
+
+    def write_scan(comps_in_scan, ss, se, ah, al_, token_fn) -> bytes:
+        """Two passes over the scan's tokens: huffman spec, then bytes.
+        token_fn(ci) yields the component's token list in scan order."""
+        all_toks = [(ci, token_fn(ci)) for ci in comps_in_scan]
+        freqs: dict[int, int] = {}
+        for _ci, toks in all_toks:
+            for t in toks:
+                if t[0] == "sym":
+                    freqs[t[1]] = freqs.get(t[1], 0) + 1
+        out = b""
+        table_id = 0
+        need_table = bool(freqs)
+        if need_table:
+            spec = build_huffman_spec(freqs)
+            codes = huffman_codes(*spec)
+            tc = 0 if ss == 0 and ah == 0 else 1
+            out += seg(0xC4, bytes([tc << 4 | table_id]) + bytes(spec[0]) + bytes(spec[1]))
+        bwr = _BitWriter()
+        for _ci, toks in all_toks:
+            for t in toks:
+                if t[0] == "sym":
+                    code, ln = codes[t[1]]
+                    bwr.write(code, ln)
+                else:
+                    bwr.write(t[1], t[2])
+        bwr.flush()
+        body = bytes([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            td = table_id if (ss == 0 and ah == 0) else 0
+            ta = table_id if ss > 0 else 0
+            body += bytes([ci + 1, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al_])
+        return out + seg(0xDA, body) + bytes(bwr.out)
+
+    n = len(planes)
+    out = b"\xff\xd8" + dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+    sof_body = struct.pack(">BHHB", 8, h, w, n)
+    for ci, tbl in enumerate(tbls):
+        sof_body += bytes([ci + 1, 0x11, tbl])
+    out += seg(0xC2, sof_body)
+
+    # scan 1: interleaved DC first at Al=al
+    preds = [0] * n
+
+    def dc_first_tokens(_all=None):
+        toks = []
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(n):
+                    t, preds[ci] = _tokens_dc_first(
+                        int(coefs[ci][by, bx, 0]), preds[ci], al
+                    )
+                    toks.extend(t)
+        return toks
+
+    # interleaved scan: tokens for ALL components ride one stream — feed
+    # write_scan a single pseudo-component
+    dc_toks = dc_first_tokens()
+    out += write_scan(
+        list(range(n)), 0, 0, 0, al,
+        lambda ci: dc_toks if ci == 0 else [],
+    )
+    # AC first scans per component, two spectral bands, at Al=al
+    for ci in range(n):
+        for (ss, se) in ((1, 5), (6, 63)):
+            out += write_scan(
+                [ci], ss, se, 0, al,
+                lambda c, ss=ss, se=se: [
+                    t
+                    for by in range(bh)
+                    for bx in range(bw)
+                    for t in _tokens_ac_first(coefs[c][by, bx, ss : se + 1], ss, al)
+                ],
+            )
+    # successive approximation refinements down to Al=0
+    for a_hi in range(al, 0, -1):
+        a_lo = a_hi - 1
+        # DC refinement: raw bit per block, interleaved
+        dc_bits = [
+            ("bits", (int(coefs[ci][by, bx, 0]) >> a_lo) & 1, 1)
+            for by in range(bh)
+            for bx in range(bw)
+            for ci in range(n)
+        ]
+        out += write_scan(
+            list(range(n)), 0, 0, a_hi, a_lo,
+            lambda ci, bits=dc_bits: bits if ci == 0 else [],
+        )
+        # AC refinement per component per band
+        for ci in range(n):
+            for (ss, se) in ((1, 5), (6, 63)):
+                out += write_scan(
+                    [ci], ss, se, a_hi, a_lo,
+                    lambda c, ss=ss, se=se, a=a_lo: [
+                        t
+                        for by in range(bh)
+                        for bx in range(bw)
+                        for t in _tokens_ac_refine(coefs[c][by, bx, ss : se + 1], a)
+                    ],
+                )
+    return out + b"\xff\xd9"

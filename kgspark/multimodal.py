@@ -20,10 +20,11 @@ through Python row objects. Two decode modes:
   scanline filters, gray/RGB/palette/RGBA at depth 8, null + Adam7
   interlace), baseline JPEG (``kgspark.jpegcodec`` — T.81 sequential
   DCT, the file's own Huffman/quant tables, 4:4:4/4:2:2/4:2:0/gray,
-  restart markers), and GIF87a/89a (``kgspark.gifcodec`` — LZW,
-  interlace, palettes). Formats genuinely needing ffmpeg/PIL
-  (mp4/mp3/webp, progressive JPEG, 16-bit PNG) still raise
-  NotImplementedError at the codec seam.
+  restart markers, and progressive SOF2 with spectral selection +
+  successive approximation), and GIF87a/89a (``kgspark.gifcodec`` —
+  LZW, interlace, palettes). Formats genuinely needing ffmpeg/PIL
+  (mp4/mp3/webp, 16-bit PNG) still raise NotImplementedError at the
+  codec seam.
 """
 
 from __future__ import annotations

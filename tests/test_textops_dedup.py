@@ -714,12 +714,7 @@ def test_jpeg_codec_subsampling_gray_restarts():
     dec = decode_jpeg_rgb(encode_jpeg(noise, quality=100, restart_interval=3))
     assert np.abs(dec.astype(int) - noise.astype(int)).max() <= 3
 
-    import pytest
 
-    with pytest.raises(NotImplementedError):
-        # progressive JPEG raises at the disclosed seam: hand-build a
-        # minimal SOF2 header
-        decode_jpeg_rgb(b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00")
 
 
 def test_gif_codec_lzw_and_container():
@@ -785,3 +780,48 @@ def test_normalize_unicode_forms(spark):
     assert nfkc[2] == "file"
     with pytest.raises(ValueError):
         normalize_unicode(F.col("text"), "XXX")
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Progressive (SOF2) and baseline encode the SAME quantized
+    coefficients in a different scan order, so their decodes must be
+    bit-identical at equal quality — one assertion that exercises
+    spectral selection, successive approximation (DC + AC refinement
+    with correction bits), EOB runs and non-interleaved AC scans."""
+    import numpy as np
+
+    from kgspark.jpegcodec import (
+        decode_jpeg_rgb,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:24, 0:32]
+    grad = np.stack(
+        [(yy * 3) % 256, (xx * 5) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    flat = np.full((16, 24, 3), 130, dtype=np.uint8)
+    assert (decode_jpeg_rgb(encode_jpeg_progressive(flat, quality=100)) == flat).all()
+    for q in (100, 90, 50):
+        assert (
+            decode_jpeg_rgb(encode_jpeg_progressive(grad, quality=q))
+            == decode_jpeg_rgb(encode_jpeg(grad, q))
+        ).all(), q
+    noise = rng.randint(0, 256, (17, 19, 3), dtype=np.uint8)
+    # al=2 -> two successive-approximation refinement rounds
+    assert (
+        decode_jpeg_rgb(encode_jpeg_progressive(noise, quality=90, al=2))
+        == decode_jpeg_rgb(encode_jpeg(noise, 90))
+    ).all()
+    g = ((yy * 7 + xx * 3) % 256).astype(np.uint8)
+    assert (
+        decode_jpeg_rgb(encode_jpeg_progressive(g, quality=90))
+        == decode_jpeg_rgb(encode_jpeg(g, 90))
+    ).all()
+    for shape in [(1, 1), (7, 9), (9, 17), (25, 3)]:
+        img = rng.randint(0, 256, (*shape, 3), dtype=np.uint8)
+        assert (
+            decode_jpeg_rgb(encode_jpeg_progressive(img, quality=95))
+            == decode_jpeg_rgb(encode_jpeg(img, 95))
+        ).all(), shape
