@@ -994,6 +994,30 @@ def q_media_png_resize(spark, sf_dir):
     )
 
 
+def q_media_jpeg_progressive(spark, sf_dir):
+    """Progressive-JPEG (SOF2) real-codec path: flat-color pixels ->
+    multi-scan progressive encode (spectral selection + successive
+    approximation + EOB runs) -> accumulate-and-reconstruct decode ->
+    resize -> baseline re-encode -> decode. Flat blocks at quality 100
+    survive exactly, so the oracle pins the whole progressive scan
+    machinery with the same closed-form arithmetic as the baseline twin."""
+    from kgspark.multimodal import codec_media_table, resize_images
+
+    media = codec_media_table(
+        _docs(spark, sf_dir), n=48,
+        image_formats=("jpeg_progressive", "jpeg_progressive"), flat=True,
+    )
+    resized = resize_images(media.filter(F.col("kind") == "image"), width=4, height=3)
+    feats = extract_features(resized, decode_mode="real")
+    return feats.select(
+        "media_id", "kind",
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: x.cast("bigint").cast("string")),
+            "|",
+        ).alias("feature_sig"),
+    )
+
+
 def q_media_gif_resize(spark, sf_dir):
     """GIF real-codec path (kgspark/gifcodec.py — LZW from the GIF spec):
     gradient id-derived pixels (<=35 distinct colors, so GIF is LOSSLESS)
@@ -1104,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_real": q_media_resize,
         "media_png_resize": q_media_png_resize,
         "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
+        "media_jpeg_progressive": q_media_jpeg_progressive,
         "media_gif_resize": q_media_gif_resize,
         "video_frame_sample": q_video_frames,
         "align_tokens": q_align_tokens,
@@ -1221,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize_real": oracles.q_media_resize(n=48, rw=4, rh=3),
         "media_png_resize": oracles.q_media_resize_png(n=48, rw=4, rh=3),
         "media_jpeg_roundtrip": oracles.q_media_jpeg_roundtrip(n=48, rw=4, rh=3),
+        "media_jpeg_progressive": oracles.q_media_jpeg_roundtrip(n=48, rw=4, rh=3),
         "media_gif_resize": oracles.q_media_resize_png(n=48, rw=4, rh=3, code=6),
         "video_frame_sample": oracles.q_video_frames(n=48, every_ms=5000),
         "tei_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 50",

@@ -145,6 +145,11 @@ def codec_media_table(
 
         return encode_jpeg(rgb, quality=100)
 
+    def _enc_jpeg_prog(rgb: np.ndarray) -> bytes:
+        from kgspark.jpegcodec import encode_jpeg_progressive
+
+        return encode_jpeg_progressive(rgb, quality=100)
+
     def _enc_gif(rgb: np.ndarray) -> bytes:
         from kgspark.gifcodec import encode_gif
 
@@ -155,6 +160,7 @@ def codec_media_table(
         "ppm": encode_ppm,
         "png": encode_png,
         "jpeg": _enc_jpeg,
+        "jpeg_progressive": _enc_jpeg_prog,
         "gif": _enc_gif,
     }
     enc0, enc2 = encoders[image_formats[0]], encoders[image_formats[1]]
