@@ -391,9 +391,10 @@ def encode_png(rgb: np.ndarray) -> bytes:
 def _png_rgb(p: bytes) -> np.ndarray:
     """PNG pixel decode -> (h, w, 3) uint8 RGB. Pure python + numpy +
     stdlib zlib: all five scanline filters (None/Sub/Up/Average/Paeth),
-    bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette), 6 (RGBA —
-    alpha dropped), both interlace methods (null and Adam7). 16-bit and
-    sub-byte depths stay at the seam."""
+    every legal bit depth (1/2/4 gray+palette, 8 everywhere, 16 via the
+    network-order high byte), color types 0 (gray), 2 (RGB),
+    3 (palette), 6 (RGBA — alpha dropped), both interlace methods (null
+    and Adam7)."""
     import zlib
 
     if p[:8] != PNG_MAGIC:
@@ -413,17 +414,22 @@ def _png_rgb(p: bytes) -> np.ndarray:
             idat += data
         elif typ == b"IEND":
             break
-    if depth != 8:
-        raise NotImplementedError("only bit depth 8 PNG is decoded without PIL")
+    if depth not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} is not decoded")
     if ctype not in (0, 2, 3, 6):
         raise NotImplementedError(f"PNG color type {ctype} is not decoded")
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError("sub-byte PNG depth is only legal for gray/palette")
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    # filters operate on the raw byte stream: bpp = bytes per pixel for
+    # the left-neighbor offset (1 for sub-byte depths, per the spec)
+    bpp = max(1, (ch * depth) // 8)
     raw = zlib.decompress(idat)
 
     def unfilter(data: bytes, rows: int, width: int) -> np.ndarray:
-        """De-filter `rows` scanlines of `width` pixels; returns
-        (rows, width*ch) uint8."""
-        stride = width * ch
+        """De-filter `rows` scanlines of `width` pixels; returns the raw
+        (rows, stride) recon BYTES (not yet sample-unpacked)."""
+        stride = (width * ch * depth + 7) // 8
         out = np.zeros((rows, stride), dtype=np.uint8)
         prev = np.zeros(stride, dtype=np.int32)
         for y in range(rows):
@@ -433,19 +439,24 @@ def _png_rgb(p: bytes) -> np.ndarray:
             ).astype(np.int32)
             if ft == 0:
                 rec = cur
-            elif ft == 1:  # Sub: per-lane cumsum over x (mod 256)
-                rec = cur.reshape(width, ch).cumsum(axis=0).reshape(stride) & 0xFF
+            elif ft == 1:  # Sub: per-byte-lane cumsum over x (mod 256)
+                rec = (
+                    cur.reshape(stride // bpp, bpp).cumsum(axis=0).reshape(stride)
+                    & 0xFF
+                    if stride % bpp == 0
+                    else _sub_seq(cur, bpp)
+                )
             elif ft == 2:  # Up: fully vectorized
                 rec = (cur + prev) & 0xFF
             else:  # Average / Paeth need the sequential left neighbor
                 rec = np.zeros(stride, dtype=np.int32)
                 for x in range(stride):
-                    a = rec[x - ch] if x >= ch else 0
+                    a = rec[x - bpp] if x >= bpp else 0
                     b = prev[x]
                     if ft == 3:
                         rec[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
                     else:  # Paeth
-                        c = prev[x - ch] if x >= ch else 0
+                        c = prev[x - bpp] if x >= bpp else 0
                         pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
                         pred = (
                             a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -455,8 +466,30 @@ def _png_rgb(p: bytes) -> np.ndarray:
             prev = rec.astype(np.int32)
         return out
 
+    def _sub_seq(cur: np.ndarray, bpp_: int) -> np.ndarray:
+        rec = cur.copy()
+        for x in range(bpp_, len(rec)):
+            rec[x] = (rec[x] + rec[x - bpp_]) & 0xFF
+        return rec
+
+    def unpack(rowbytes: np.ndarray, rows: int, width: int) -> np.ndarray:
+        """Recon bytes -> (rows, width, ch) 8-bit samples."""
+        if depth == 8:
+            return rowbytes.reshape(rows, width, ch)
+        if depth == 16:  # network order: the high byte IS the 8-bit sample
+            return rowbytes.reshape(rows, width, ch, 2)[:, :, :, 0]
+        # depth 1/2/4, single channel: MSB-first bit groups
+        bits = np.unpackbits(rowbytes, axis=1)
+        per = depth
+        vals = bits[:, : (width * per)].reshape(rows, width, per)
+        weights = 1 << np.arange(per - 1, -1, -1)
+        v = (vals * weights).sum(axis=2).astype(np.uint8)
+        if ctype == 0:  # gray: scale to full 8-bit range
+            v = (v.astype(np.int64) * 255 // ((1 << per) - 1)).astype(np.uint8)
+        return v[:, :, None]
+
     if interlace == 0:
-        px = unfilter(raw, h, w).reshape(h, w, ch)
+        px = unpack(unfilter(raw, h, w), h, w)
     else:  # Adam7: seven sub-images, each filtered independently
         # (x_start, y_start, x_step, y_step) per pass
         ADAM7 = (
@@ -470,8 +503,9 @@ def _png_rgb(p: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue
-            nbytes = ph * (pw * ch + 1)
-            sub = unfilter(raw[off : off + nbytes], ph, pw).reshape(ph, pw, ch)
+            stride = (pw * ch * depth + 7) // 8
+            nbytes = ph * (stride + 1)
+            sub = unpack(unfilter(raw[off : off + nbytes], ph, pw), ph, pw)
             px[y0::dy, x0::dx] = sub
             off += nbytes
     if ctype == 2:

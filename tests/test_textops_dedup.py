@@ -825,3 +825,62 @@ def test_jpeg_progressive_decodes_identical_to_baseline():
             decode_jpeg_rgb(encode_jpeg_progressive(img, quality=95))
             == decode_jpeg_rgb(encode_jpeg(img, 95))
         ).all(), shape
+
+
+def test_png_bit_depths():
+    """PNG depths beyond 8: 16-bit (network-order high byte), 1/2/4-bit
+    gray (scaled to the full 8-bit range) and 4-bit palette — every legal
+    depth/color combination a crawl can contain."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from kgspark.multimodal import PNG_MAGIC, _png_rgb
+
+    def chunk(typ, data):
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    def make(scanlines, w, h, depth, ctype, plte=None):
+        raw = b"".join(b"\x00" + sl for sl in scanlines)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        out = PNG_MAGIC + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    def pack_bits(vals, depth):
+        bits = (
+            ((vals[:, None] >> np.arange(depth - 1, -1, -1)) & 1)
+            .reshape(-1)
+            .astype(np.uint8)
+        )
+        return np.packbits(bits).tobytes()
+
+    rng = np.random.RandomState(13)
+    h, w = 5, 7
+    px16 = rng.randint(0, 65536, (h, w, 3), dtype=np.uint16)
+    dec = _png_rgb(make([px16[y].astype(">u2").tobytes() for y in range(h)],
+                        w, h, 16, 2))
+    assert np.array_equal(dec, (px16 >> 8).astype(np.uint8))
+
+    b1 = rng.randint(0, 2, (4, 10), dtype=np.uint8)
+    dec = _png_rgb(make([np.packbits(b1[y]).tobytes() for y in range(4)],
+                        10, 4, 1, 0))
+    assert np.array_equal(dec, np.repeat((b1 * 255)[:, :, None], 3, axis=2))
+
+    g2 = rng.randint(0, 4, (3, 9), dtype=np.uint8)
+    dec = _png_rgb(make([pack_bits(g2[y], 2) for y in range(3)], 9, 3, 2, 0))
+    exp = (g2.astype(np.int64) * 255 // 3).astype(np.uint8)
+    assert np.array_equal(dec, np.repeat(exp[:, :, None], 3, axis=2))
+
+    plte = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx4 = rng.randint(0, 16, (6, 5), dtype=np.uint8)
+    dec = _png_rgb(make([pack_bits(idx4[y], 4) for y in range(6)],
+                        5, 6, 4, 3, plte=plte))
+    assert np.array_equal(dec, plte[idx4])
