@@ -238,27 +238,53 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 
 def decode_wav(p: bytes) -> list[float]:
-    """RIFF chunk walk (handles extra chunks + odd-size padding);
-    PCM16 only. Feature: [1, sample_rate, n_frames, sum, sum_abs, max,
-    min, channels] — integer stats, exact in float32."""
+    """RIFF chunk walk (handles extra chunks + odd-size padding). Sample
+    formats: PCM 8-bit unsigned (rebased to signed), 16/24/32-bit signed,
+    IEEE float32/64 (scaled to the 16-bit range and truncated so the
+    stats stay integer), plus WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping
+    either. Feature: [1, sample_rate, n_frames, sum, sum_abs, max, min,
+    channels] — integer stats, exact in float32."""
     if not (p[:4] == b"RIFF" and p[8:12] == b"WAVE"):
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, ext_guid = 12, None, None, None
     while pos + 8 <= len(p):
         cid = p[pos : pos + 4]
         size = struct.unpack("<I", p[pos + 4 : pos + 8])[0]
         body = p[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            if fmt[0] == 0xFFFE and size >= 40:  # EXTENSIBLE: real fmt in GUID
+                ext_guid = body[24:26]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, channels, sr, _, _, bits = fmt
-    if audio_fmt != 1 or bits != 16:
-        raise NotImplementedError("only PCM16 WAV is decoded without ffmpeg")
-    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if audio_fmt == 0xFFFE and ext_guid is not None:
+        (audio_fmt,) = struct.unpack("<H", ext_guid)
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:  # unsigned by convention
+            s = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+        elif bits == 16:
+            s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        elif bits == 24:
+            b = np.frombuffer(data, dtype=np.uint8)
+            b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.int64)
+            s = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            s -= (s >> 23) << 24  # sign-extend
+        elif bits == 32:
+            s = np.frombuffer(data, dtype="<i4").astype(np.int64)
+        else:
+            raise NotImplementedError(f"PCM bit depth {bits} is not decoded")
+    elif audio_fmt == 3:  # IEEE float: scale to 16-bit range, truncate
+        dt = "<f4" if bits == 32 else "<f8"
+        f = np.frombuffer(data, dtype=dt).astype(np.float64)
+        s = np.trunc(f * 32767.0).astype(np.int64)
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {audio_fmt} needs ffmpeg (ADPCM/mu-law/...)"
+        )
     return [
         1.0, float(sr), float(len(s) // channels), float(s.sum()),
         float(np.abs(s).sum()), float(s.max()), float(s.min()), float(channels),

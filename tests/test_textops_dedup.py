@@ -884,3 +884,60 @@ def test_png_bit_depths():
     dec = _png_rgb(make([pack_bits(idx4[y], 4) for y in range(6)],
                         5, 6, 4, 3, plte=plte))
     assert np.array_equal(dec, plte[idx4])
+
+
+def test_wav_sample_formats():
+    """WAV beyond PCM16: 8-bit unsigned (rebased), 24-bit signed
+    (sign-extended), 32-bit signed, IEEE float32 (scaled+truncated to the
+    16-bit integer range), and WAVE_FORMAT_EXTENSIBLE wrapping PCM;
+    compressed tags (ADPCM/mu-law) still raise at the seam."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from kgspark.multimodal import decode_wav
+
+    def make_wav(data_bytes, fmt_tag, channels, sr, bits, ext=False):
+        if ext:
+            fmt_body = struct.pack(
+                "<HHIIHH", 0xFFFE, channels, sr, sr * bits // 8, bits // 8, bits
+            )
+            fmt_body += (
+                struct.pack("<HHI", 22, bits, 1)
+                + struct.pack("<H", fmt_tag)
+                + b"\x00" * 14
+            )
+        else:
+            fmt_body = struct.pack(
+                "<HHIIHH", fmt_tag, channels, sr, sr * bits // 8, bits // 8, bits
+            )
+        return (
+            b"RIFF" + struct.pack("<I", 20 + len(fmt_body) + len(data_bytes))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(data_bytes)) + data_bytes
+        )
+
+    f = decode_wav(make_wav(bytes([0, 128, 255]), 1, 1, 8000, 8))
+    assert (f[5], f[6]) == (127.0, -128.0)
+
+    v24 = [-8388608, 8388607, -1, 0, 12345]
+    b = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in v24)
+    f = decode_wav(make_wav(b, 1, 1, 8000, 24))
+    assert (f[5], f[6], f[3]) == (8388607.0, -8388608.0, float(sum(v24)))
+
+    v32 = np.array([-2**31, 2**31 - 1, 7], dtype="<i4")
+    f = decode_wav(make_wav(v32.tobytes(), 1, 1, 8000, 32))
+    assert (f[5], f[6]) == (float(2**31 - 1), float(-2**31))
+
+    fl = np.array([0.5, -1.0, 0.0], dtype="<f4")
+    f = decode_wav(make_wav(fl.tobytes(), 3, 1, 8000, 32))
+    assert (f[5], f[6]) == (16383.0, -32767.0)
+
+    f = decode_wav(
+        make_wav(np.array([5, -6], dtype="<i2").tobytes(), 1, 2, 44100, 16, ext=True)
+    )
+    assert (f[1], f[7], f[2]) == (44100.0, 2.0, 1.0)
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(make_wav(b"\x00\x01", 7, 1, 8000, 8))
