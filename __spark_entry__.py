@@ -1065,6 +1065,27 @@ def q_media_jpeg_roundtrip(spark, sf_dir):
     )
 
 
+def q_video_frames_real(spark, sf_dir):
+    """REAL video path: id-derived flat-color MJPEG frames in an AVI
+    container (kgspark/avicodec.py RIFF walk + the JPEG codec per frame)
+    -> Spark-side frame fan-out -> per-frame pixel stats. Flat q100
+    frames decode bit-exact, so the oracle re-derives every sampled
+    frame's stats closed-form — a green hash pins container walk, frame
+    timing (ts -> frame index) and the JPEG decode together."""
+    from kgspark.multimodal import avi_media_table
+
+    media = avi_media_table(_docs(spark, sf_dir), n=48)
+    frames = sample_video_frames(media, every_ms=200, decode_mode="real")
+    return frames.select(
+        "media_id", "frame_ts_ms",
+        F.array_join(
+            F.transform(F.col("frame_feature"),
+                        lambda x: x.cast("bigint").cast("string")),
+            "|",
+        ).alias("frame_sig"),
+    )
+
+
 def q_video_frames(spark, sf_dir):
     media = media_table(_docs(spark, sf_dir), n=48)
     frames = sample_video_frames(media, every_ms=5000)
@@ -1130,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_roundtrip": q_media_jpeg_roundtrip,
         "media_jpeg_progressive": q_media_jpeg_progressive,
         "media_gif_resize": q_media_gif_resize,
+        "video_frames_real": q_video_frames_real,
         "video_frame_sample": q_video_frames,
         "align_tokens": q_align_tokens,
         "align_tokens_exact": q_align_exact,
@@ -1248,6 +1270,7 @@ def oracle_sql() -> dict[str, str]:
         "media_jpeg_roundtrip": oracles.q_media_jpeg_roundtrip(n=48, rw=4, rh=3),
         "media_jpeg_progressive": oracles.q_media_jpeg_roundtrip(n=48, rw=4, rh=3),
         "media_gif_resize": oracles.q_media_resize_png(n=48, rw=4, rh=3, code=6),
+        "video_frames_real": oracles.q_video_frames_real(n=48),
         "video_frame_sample": oracles.q_video_frames(n=48, every_ms=5000),
         "tei_roundtrip": "SELECT doc_id, text FROM documents WHERE doc_id < 50",
         "ann_lsh_bucketed": oracles.q_ann_lsh(n_tables=8, multiprobe=True),

@@ -745,7 +745,10 @@ def sample_video_frames(
     The fan-out happens Spark-side (``explode(sequence(...))``) so the
     kernel sees one already-exploded row per frame and stays a flat
     column-parallel pass — no per-row iteration, no Python-side loops over
-    timestamps.
+    timestamps. ``decode_mode="real"`` decodes AVI/MJPEG containers
+    natively (``kgspark.avicodec`` RIFF walk + the JPEG codec per frame)
+    and emits the frame's pixel stats as [7, w, h, sum_r, sum_g, sum_b,
+    max, min]; mp4/webm payloads raise at the ffmpeg seam.
     """
     frames = media.filter(
         (F.col("kind") == "video") & F.col("duration_ms").isNotNull()
@@ -757,22 +760,76 @@ def sample_video_frames(
         ).alias("frame_ts_ms"),
     )
 
+    def _real_frame_feature(p: bytes, ts: int) -> list[float]:
+        from kgspark.avicodec import decode_avi_frame_rgb
+
+        if p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+            raise NotImplementedError(
+                "only AVI/MJPEG video decodes without ffmpeg "
+                f"(payload magic {p[:8]!r})"
+            )
+        rgb = decode_avi_frame_rgb(p, ts).astype(np.int64)
+        h, w = rgb.shape[:2]
+        return [
+            7.0, float(w), float(h), float(rgb[:, :, 0].sum()),
+            float(rgb[:, :, 1].sum()), float(rgb[:, :, 2].sum()),
+            float(rgb.max()), float(rgb.min()),
+        ]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        feat = _real_frame_feature if decode_mode == "real" else _fake_frame_feature
         for pdf in batches:
-            if decode_mode == "real":
-                raise NotImplementedError(
-                    "video frame decode requires ffmpeg — unlike the "
-                    "WAV/BMP/PPM feature path, no pure-python codec exists"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "frame_ts_ms": pdf["frame_ts_ms"],
                     "frame_feature": [
-                        _fake_frame_feature(bytes(p), int(ts))
+                        feat(bytes(p), int(ts))
                         for p, ts in zip(pdf["payload"], pdf["frame_ts_ms"])
                     ],
                 }
             )
 
     return frames.mapInPandas(kernel, FRAMES_SCHEMA)
+
+
+def avi_media_table(
+    docs: DataFrame, n: int = 48, id_col: str = "doc_id"
+) -> DataFrame:
+    """Media table of REAL AVI/MJPEG videos, closed-form in the id:
+    2 + id%4 flat-color frames (frame i channel c = (id*7 + i*31 + 11c)
+    % 256, the q100 bit-exact shape), 5 fps (200 ms per frame) — the
+    DuckDB oracle re-derives every sampled frame's stats from the
+    formulas alone."""
+    base = docs.filter(F.col(id_col).cast("long") < n).select(
+        F.col(id_col).cast("long").alias("media_id")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kgspark.avicodec import encode_avi_mjpeg
+
+        for pdf in batches:
+            rows = {"media_id": [], "url": [], "kind": [], "payload": [],
+                    "width": [], "height": [], "duration_ms": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 4 + mid % 4, 3 + mid % 3
+                n_frames = 2 + mid % 4
+                frames = []
+                for i in range(n_frames):
+                    px = np.zeros((h, w, 3), dtype=np.uint8)
+                    for c, off in enumerate((0, 11, 22)):
+                        px[:, :, c] = (mid * 7 + i * 31 + off) % 256
+                    frames.append(px)
+                rows["media_id"].append(mid)
+                rows["url"].append(f"https://example.org/media/{mid}.avi")
+                rows["kind"].append("video")
+                rows["payload"].append(
+                    encode_avi_mjpeg(frames, us_per_frame=200_000)
+                )
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_ms"].append(n_frames * 200)
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(kernel, MEDIA_SCHEMA)

@@ -1340,6 +1340,31 @@ SELECT media_id, 'image' AS kind, {sig} AS feature_sig
 FROM ids WHERE media_id % 3 <> 1"""
 
 
+def q_video_frames_real(n: int = 48) -> str:
+    """Mirror of avi_media_table -> sample_video_frames(decode_mode='real',
+    every_ms=200): per video 2 + id%4 flat frames at 200 ms each, sampled
+    timestamps land exactly one per frame (frame = ts/200), and each
+    channel's color is (id*7 + frame*31 + 11c) % 256 — every stat
+    closed-form."""
+    w, h = "(4 + (media_id % 4))", "(3 + (media_id % 3))"
+    chans = {off: f"((media_id*7 + (frame_ts_ms // 200)*31 + {off}) % 256)"
+             for off in (0, 11, 22)}
+    sig = (
+        "'7|' || cast({w} AS VARCHAR) || '|' || cast({h} AS VARCHAR)"
+        " || '|' || cast({cr} * {w} * {h} AS VARCHAR)"
+        " || '|' || cast({cg} * {w} * {h} AS VARCHAR)"
+        " || '|' || cast({cb} * {w} * {h} AS VARCHAR)"
+        " || '|' || cast(greatest({cr}, {cg}, {cb}) AS VARCHAR)"
+        " || '|' || cast(least({cr}, {cg}, {cb}) AS VARCHAR)"
+    ).format(w=w, h=h, cr=chans[0], cg=chans[11], cb=chans[22])
+    return f"""WITH m AS (SELECT doc_id AS media_id, (2 + doc_id % 4) * 200 AS duration_ms
+    FROM documents WHERE doc_id < {n}),
+  fr AS (SELECT media_id,
+           unnest(generate_series(0, duration_ms - 1, 200)) AS frame_ts_ms
+         FROM m)
+SELECT media_id, frame_ts_ms, {sig} AS frame_sig FROM fr"""
+
+
 def q_video_frames(n: int = 48, every_ms: int = 5000, dim: int = 8) -> str:
     return f"""WITH m AS (
     SELECT doc_id AS media_id, text, 1000 + (doc_id * 7919) % 59000 AS duration_ms

@@ -941,3 +941,39 @@ def test_wav_sample_formats():
 
     with pytest.raises(NotImplementedError):
         decode_wav(make_wav(b"\x00\x01", 7, 1, 8000, 8))
+
+
+def test_avi_mjpeg_codec():
+    """AVI/MJPEG container: RIFF walk returns frame timing + JPEG bytes;
+    flat frames at quality 100 decode exactly; timestamps map to the
+    covering frame and clamp past the end; non-AVI video payloads raise
+    at the ffmpeg seam."""
+    import numpy as np
+    import pytest
+
+    from kgspark.avicodec import (
+        decode_avi,
+        decode_avi_frame_rgb,
+        encode_avi_mjpeg,
+    )
+
+    frames = [np.full((8, 16, 3), 40 * i + 10, dtype=np.uint8) for i in range(5)]
+    avi = encode_avi_mjpeg(frames, us_per_frame=200_000)
+    us, fj = decode_avi(avi)
+    assert us == 200_000 and len(fj) == 5
+    for i in range(5):
+        assert (decode_avi_frame_rgb(avi, ts_ms=i * 200) == frames[i]).all()
+    assert (decode_avi_frame_rgb(avi, 399) == frames[1]).all()
+    assert (decode_avi_frame_rgb(avi, 10_000) == frames[4]).all()
+
+    rng = np.random.RandomState(21)
+    nf = [rng.randint(0, 256, (9, 13, 3), dtype=np.uint8) for _ in range(3)]
+    avi2 = encode_avi_mjpeg(nf, us_per_frame=100_000)
+    for i in range(3):
+        d = np.abs(
+            decode_avi_frame_rgb(avi2, i * 100).astype(int) - nf[i].astype(int)
+        ).max()
+        assert d <= 3
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
