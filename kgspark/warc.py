@@ -153,11 +153,20 @@ def parse_http_response(raw: bytes) -> dict:
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
     ctype = headers.get("content-type")
-    charset = "utf-8"
+    charset = None
     if ctype:
         m = re.search(r"charset=\"?([\w\-]+)", ctype, re.I)
         if m:
             charset = m.group(1)
+    if charset is None:
+        # WHATWG-style prescan: many real pages carry the charset only in
+        # <meta charset=...> / <meta http-equiv="Content-Type" ...>
+        # within the first KB of markup
+        head1k = body[:1024]
+        m = re.search(
+            rb"<meta[^>]+charset\s*=\s*[\"']?([\w\-]+)", head1k, re.I
+        )
+        charset = m.group(1).decode("ascii", "ignore") if m else "utf-8"
     try:
         text = body.decode(charset, "replace")
     except LookupError:  # unknown charset label on a real page

@@ -116,3 +116,26 @@ def test_cc_wire_format_roundtrip(spark, tmp_path):
     )
     got = {r["url"]: (r["http_status"], r["html"]) for r in back.collect()}
     assert got == {u: (200, p.decode()) for u, t, p in rows}
+
+
+def test_http_meta_charset_prescan():
+    """When the HTTP header lacks a charset, the first-KB <meta> prescan
+    supplies it (both the HTML5 and the http-equiv forms); an explicit
+    header charset always wins over meta."""
+    from kgspark.warc import parse_http_response
+
+    body = '<html><head><meta charset="ISO-8859-1"></head>caf\xe9</html>'.encode("latin-1")
+    raw = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    assert "caf\xe9" in parse_http_response(raw)["text"]
+
+    body = ('<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=iso-8859-1"></head>ol\xe9</html>'
+            ).encode("latin-1")
+    raw = b"HTTP/1.1 200 OK\r\n\r\n" + body
+    assert "ol\xe9" in parse_http_response(raw)["text"]
+
+    # header charset wins over a conflicting meta
+    body = '<meta charset="ISO-8859-1">é'.encode("utf-8")
+    raw = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+           + body)
+    assert "é" in parse_http_response(raw)["text"]
