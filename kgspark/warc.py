@@ -233,6 +233,39 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.select("content").mapInPandas(parse, WARC_OUT_SCHEMA)
 
 
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Structured-streaming WARC ingestion: the crawl drop-directory as an
+    unbounded source. Same file-as-split-unit + record-walk kernel as
+    ``read_warc``, but over ``readStream`` — each micro-batch processes
+    only files that appeared since the last checkpointed offset, which is
+    exactly how a live crawl lands (CC publishes ~1 GB .warc.gz files
+    continuously). Compose with ``http_responses`` and the extract/spot
+    stages for an end-to-end streaming KG ingest; the binaryFile source
+    needs its schema pinned explicitly in streaming mode."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = spark.readStream.format("binaryFile").schema(schema).load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                rows.extend(parse_warc_bytes(bytes(content)))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "record_type", "payload"]
+            )
+
+    return files.select("content").mapInPandas(parse, WARC_OUT_SCHEMA)
+
+
 def write_warc(
     df: DataFrame,
     out_dir: str,
