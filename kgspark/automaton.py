@@ -20,6 +20,8 @@ from __future__ import annotations
 from collections import deque
 from collections.abc import Iterable, Iterator
 
+import numpy as np
+
 
 class AhoCorasick:
     """Classic Aho-Corasick automaton over unicode code points.
@@ -76,13 +78,176 @@ class AhoCorasick:
                     yield (i - len(pat) + 1, pat)
 
 
+class FlatMatcher:
+    """Vectorized multi-pattern matcher over numpy codepoint arrays.
+
+    Same match set as :class:`AhoCorasick` (every occurrence of every
+    pattern, nested and overlapping included), found by per-length exact
+    substring probes instead of a per-character Python state machine:
+    patterns are grouped by length L into sorted fixed-width byte tables
+    (UTF-32 code units, memcmp order), the text becomes one uint32 array,
+    and for each L every candidate start position is gathered into a
+    (starts, L) matrix and membership-tested against the table with one
+    ``searchsorted`` — no Python-level loop over characters.
+
+    Memory is the pattern bytes themselves (4 bytes/char, ~100 MB at 10^6
+    forms of ~20 chars) instead of the dict-of-dicts trie's ~1.7 GB, and
+    the build is string sorting + one encode per length group (seconds at
+    10^6 forms) instead of a 20 M-step Python trie insertion loop.
+
+    ``find_word_bounded_batch`` additionally restricts candidate starts to
+    ASCII word boundaries (the spotting contract) and processes a whole
+    Arrow batch of documents as one concatenated array, so the per-batch
+    numpy overhead is paid once, not per document.
+    """
+
+    __slots__ = ("patterns", "_tables", "_lengths", "_has_nul", "_max_len")
+
+    # gather-matrix cap: bounds the (starts x L) uint32 scratch to ~128 MB
+    _CHUNK = 1 << 19
+
+    def __init__(self, patterns: Iterable[str]):
+        self.patterns: list[str] = sorted(set(p for p in patterns if p))
+        self._has_nul = any("\x00" in p for p in self.patterns)
+        by_len: dict[int, list[str]] = {}
+        for p in self.patterns:
+            by_len.setdefault(len(p), []).append(p)
+        # per length: (sorted S{4L} table, sorted uint32 array of first chars)
+        self._tables: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for L, ps in by_len.items():
+            buf = "".join(ps).encode("utf-32-le", "surrogatepass")
+            keys = np.frombuffer(buf, dtype=f"S{4 * L}")
+            keys = np.sort(keys)
+            firsts = np.unique(
+                np.frombuffer(buf, dtype=np.uint32)[:: L]
+            )
+            self._tables[L] = (keys, firsts)
+        self._lengths = sorted(self._tables)
+        self._max_len = self._lengths[-1] if self._lengths else 0
+
+    @staticmethod
+    def _codepoints(text: str) -> np.ndarray:
+        return np.frombuffer(
+            text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+        )
+
+    @staticmethod
+    def _word_mask(T: np.ndarray) -> np.ndarray:
+        return (
+            ((T >= 48) & (T <= 57))
+            | ((T >= 65) & (T <= 90))
+            | ((T >= 97) & (T <= 122))
+        )
+
+    def _match_starts(
+        self, text: str, T: np.ndarray, starts_all: np.ndarray,
+        word: np.ndarray | None,
+    ) -> list[tuple[int, str]]:
+        """All (start, pattern) hits whose start is in ``starts_all``;
+        ``word`` non-None additionally enforces the end boundary."""
+        n = len(T)
+        hits: list[tuple[int, str]] = []
+        for L in self._lengths:
+            keys_tab, firsts = self._tables[L]
+            starts = starts_all[starts_all + L <= n] if L > 0 else starts_all
+            if starts.size == 0:
+                continue
+            # first-char prefilter: most positions cannot start any pattern
+            idx = np.searchsorted(firsts, T[starts])
+            ok = (idx < len(firsts)) & (
+                firsts[np.minimum(idx, len(firsts) - 1)] == T[starts]
+            )
+            starts = starts[ok]
+            if starts.size == 0:
+                continue
+            if word is not None:
+                e = starts + L
+                end_ok = (e == n) | ~word[np.minimum(e, n - 1)]
+                starts = starts[end_ok]
+                if starts.size == 0:
+                    continue
+            for lo in range(0, starts.size, self._CHUNK):
+                chunk = starts[lo : lo + self._CHUNK]
+                sub = T[chunk[:, None] + np.arange(L, dtype=chunk.dtype)]
+                keys = np.frombuffer(
+                    np.ascontiguousarray(sub).tobytes(), dtype=f"S{4 * L}"
+                )
+                pos = np.searchsorted(keys_tab, keys)
+                hit = (pos < len(keys_tab)) & (
+                    keys_tab[np.minimum(pos, len(keys_tab) - 1)] == keys
+                )
+                for s in chunk[hit]:
+                    s = int(s)
+                    hits.append((s, text[s : s + L]))
+        return hits
+
+    def iter_matches(self, text: str) -> Iterator[tuple[int, str]]:
+        """Every occurrence of every pattern (unfiltered), like
+        ``AhoCorasick.iter_matches`` — order is not guaranteed."""
+        T = self._codepoints(text)
+        starts_all = np.arange(len(T), dtype=np.int64)
+        yield from self._match_starts(text, T, starts_all, word=None)
+
+    def find_word_bounded(self, text: str) -> list[tuple[int, str]]:
+        T = self._codepoints(text)
+        n = len(T)
+        if n == 0 or not self._lengths:
+            return []
+        word = self._word_mask(T)
+        valid = np.empty(n, dtype=bool)
+        valid[0] = True
+        valid[1:] = ~word[:-1]
+        hits = self._match_starts(text, T, np.nonzero(valid)[0], word=word)
+        hits.sort(key=lambda h: (h[0], len(h[1]), h[1]))
+        return hits
+
+    def find_word_bounded_batch(
+        self, texts: Iterable[str | None]
+    ) -> list[list[tuple[int, str]]]:
+        """Word-bounded hits for a batch of documents in one numpy pass.
+
+        Documents are joined with a NUL separator (a non-word char no
+        pattern contains, so no match can cross a boundary) and offsets
+        are rebased per document afterwards."""
+        texts = list(texts)
+        if self._has_nul or not self._lengths:
+            # NUL inside a pattern breaks the separator trick — per-doc path
+            return [
+                self.find_word_bounded(t) if t else [] for t in texts
+            ]
+        parts = [t or "" for t in texts]
+        big = "\x00".join(parts)
+        T = self._codepoints(big)
+        n = len(T)
+        out: list[list[tuple[int, str]]] = [[] for _ in texts]
+        if n == 0:
+            return out
+        # doc k occupies [doc_off[k], doc_off[k] + len(parts[k]))
+        doc_off = np.zeros(len(parts), dtype=np.int64)
+        if len(parts) > 1:
+            np.cumsum(
+                [len(p) + 1 for p in parts[:-1]], out=doc_off[1:]
+            )
+        word = self._word_mask(T)
+        valid = np.empty(n, dtype=bool)
+        valid[0] = True
+        valid[1:] = ~word[:-1]
+        hits = self._match_starts(big, T, np.nonzero(valid)[0], word=word)
+        for s, pat in hits:
+            k = int(np.searchsorted(doc_off, s, side="right")) - 1
+            out[k].append((s - int(doc_off[k]), pat))
+        for lst in out:
+            lst.sort(key=lambda h: (h[0], len(h[1]), h[1]))
+        return out
+
+
 def _is_word_char(ch: str) -> bool:
     # ASCII alnum boundary definition — mirrored exactly by the DuckDB
     # oracle regex class [0-9A-Za-z] so both engines agree on boundaries.
     return ("a" <= ch <= "z") or ("A" <= ch <= "Z") or ("0" <= ch <= "9")
 
 
-def find_word_bounded(automaton: AhoCorasick, text: str) -> list[tuple[int, str]]:
+def find_word_bounded(automaton, text: str) -> list[tuple[int, str]]:
     """All dictionary matches that start and end on a word boundary.
 
     Spotlight spots token-aligned surface forms; we approximate token
@@ -90,6 +255,8 @@ def find_word_bounded(automaton: AhoCorasick, text: str) -> list[tuple[int, str]
     SQL-mirrorable. Returns 0-based ``(start0, surface_form)`` sorted by
     ``(start0, len)`` for reproducibility.
     """
+    if isinstance(automaton, FlatMatcher):
+        return automaton.find_word_bounded(text)
     n = len(text)
     hits = []
     for start0, pat in automaton.iter_matches(text):
@@ -130,9 +297,15 @@ class CAhoCorasick:
             yield (end_idx - len(pat) + 1, pat)
 
 
-def build_automaton(patterns: Iterable[str], prefer_c: bool = True):
-    """Build the spotting automaton — C implementation when available,
-    pure-Python (the portable correctness reference) otherwise."""
+def build_automaton(patterns: Iterable[str], prefer_c: bool = False):
+    """Build the spotting automaton.
+
+    Default is the vectorized :class:`FlatMatcher` — fastest build AND
+    scan of the three, and ~10x smaller than the pure-Python trie at
+    10^6 forms. ``prefer_c=True`` selects the pyahocorasick C trie when
+    the wheel is present (kept for parity testing; the flat matcher
+    outperforms it on batch scans because matching stays in numpy).
+    ``AhoCorasick`` remains the portable correctness reference."""
     if prefer_c:
         try:
             import ahocorasick  # noqa: F401
@@ -140,7 +313,7 @@ def build_automaton(patterns: Iterable[str], prefer_c: bool = True):
             return CAhoCorasick(patterns)
         except ImportError:
             pass
-    return AhoCorasick(patterns)
+    return FlatMatcher(patterns)
 
 
 # ---------------------------------------------------------------------------

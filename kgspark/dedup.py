@@ -545,20 +545,23 @@ def dup_ngram_spans(
                 ).otherwise(F.array().cast("array<struct<start_idx:int,h:long>>"))
             ).alias("g"),
         ).select(id_col, "g.start_idx", "g.h")
-        # The explode + per-position md5 is the expensive projection and it
-        # feeds BOTH the duplicate-hash aggregate and the hits join below —
-        # persist so it is computed once per query, exactly as minhash_docs
-        # does for the same double-consumer shape.
-        .persist()
     )
 
-    dup_hashes = (
-        grams.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("h")
+    # Distinct-doc count per hash as ONE window pass (dense_rank max over
+    # the hash partition) instead of the old aggregate + join-back, which
+    # consumed the explode+md5 projection twice and needed a persist that
+    # leaked a cached RDD per invocation (round-5 verdict #2/#3). The
+    # dense_rank formulation is sort-based (spills gracefully — no
+    # per-group set materialization even for a boilerplate n-gram present
+    # in 10^8 docs) and shuffles the gram stream once by the 8-byte hash,
+    # exactly like the aggregate did.
+    wh = Window.partitionBy("h")
+    hits = (
+        grams.withColumn("_dr", F.dense_rank().over(wh.orderBy(id_col)))
+        .withColumn("_n_docs", F.max("_dr").over(wh))
+        .filter(F.col("_n_docs") >= min_docs)
+        .select(id_col, "start_idx")
     )
-    hits = grams.join(dup_hashes, "h").select(id_col, "start_idx")
 
     w = Window.partitionBy(id_col).orderBy("start_idx")
     prev = F.lag("start_idx").over(w)

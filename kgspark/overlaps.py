@@ -119,26 +119,18 @@ def categorize_overlap(
     grp = Window.partitionBy(*part, "ovl_id")
     grp_sorted = grp.orderBy(F.col(start_col), F.col(end_col), F.col(text_col))
 
-    # Rows outside any overlap group get NULL flags by definition — but a
-    # window partitioned by (doc, ovl_id) would still buffer every
-    # NULL-ovl_id row of a document into one giant group and evaluate
-    # collect_set/min/max over it. Non-overlapping mentions are the vast
-    # majority (~96% on the synthetic crawl), so they bypass the window
-    # family entirely and re-enter with typed NULL columns (4.7x on the
-    # overlap stage at 100k docs). ``all_grouped=True`` promises the input
-    # has no NULL-ovl_id rows (the composed ``overlap_pipeline`` splits
-    # once up front), skipping the split so chained filters don't fan the
-    # upstream plan out into re-computed branches.
-    if all_grouped:
-        miss = None
-    else:
-        miss = df.filter(F.col("ovl_id").isNull())
-        for flag in OVL_FLAGS:
-            miss = miss.withColumn(flag, F.lit(None).cast("boolean"))
-        if keep_type_col:
-            miss = miss.withColumn("ovl_type", F.lit(None).cast("string"))
-        df = df.filter(F.col("ovl_id").isNotNull())
-
+    # Rows outside any overlap group get NULL flags by definition. Earlier
+    # rounds split them into a separate branch to keep them out of the
+    # window family — but the split consumes the upstream plan TWICE, and
+    # Catalyst's per-branch column pruning specializes the subtrees so
+    # ReuseExchange cannot dedupe them: the whole extract->spot->link chain
+    # (two python UDF stages) executed once per branch. The windows here
+    # partition by (doc, ovl_id), so NULL-ovl_id rows group per document
+    # (bounded by a document's mention count, never globally), every flag
+    # is already null-guarded on ``ovl_id``, and evaluating the windows
+    # over the null groups costs one sorted pass — far cheaper than a
+    # second upstream execution. ``all_grouped`` is kept for API
+    # compatibility; both values take the same single-pass plan.
     s, e = F.col(start_col), F.col(end_col)
     length = e - s
     x = (
@@ -218,9 +210,7 @@ def categorize_overlap(
     # the reference sorts for presentation (R/overlaps.R:391-395); a global
     # range-partition sort mid-pipeline is wasted shuffle — results are
     # order-insensitive, callers sort at the edge if needed.
-    if miss is None:
-        return x
-    return x.unionByName(miss, allowMissingColumns=True)
+    return x
 
 
 def _synthesize_inner_outer(
@@ -329,30 +319,25 @@ def overlap_pipeline(
     text_col: str = "text",
     uri_col: str = "dbpedia_uri",
 ) -> DataFrame:
-    """detect -> categorize -> resolve with ONE hit/miss split.
+    """detect -> categorize -> resolve as ONE single-consumer chain.
 
-    Composing the three operators naively makes each one's NULL-bypass
-    re-filter (and so re-compute) its upstream branch; here the split on
-    ``ovl_id`` happens once right after detection, the window family runs
-    on the overlapping minority with ``all_grouped=True``, and the
-    non-overlapping majority re-enters once at the end with NULL flags.
+    Every stage is null-ovl_id-safe inline (see categorize_overlap /
+    resolve_overlap), so the upstream plan is consumed exactly once and
+    the whole family runs on the single doc-keyed exchange established by
+    ``detect_overlap`` — HashPartitioning(doc) satisfies every
+    (doc[, ovl_id])-clustered window downstream, so no further shuffle.
     """
     detected = detect_overlap(
         df, doc_col=doc_col, start_col=start_col, end_col=end_col, text_col=text_col
     )
-    miss = detected.filter(F.col("ovl_id").isNull())
-    hit = detected.filter(F.col("ovl_id").isNotNull())
     categorized = categorize_overlap(
-        hit, doc_col=doc_col, start_col=start_col,
+        detected, doc_col=doc_col, start_col=start_col,
         end_col=end_col or "end", uri_col=uri_col, text_col=text_col,
-        all_grouped=True,
     )
-    resolved = resolve_overlap(
+    return resolve_overlap(
         categorized, keep=keep, omit=omit, tiebreak=tiebreak, doc_col=doc_col,
         start_col=start_col, end_col=end_col or "end", text_col=text_col,
-        all_grouped=True,
     )
-    return resolved.unionByName(miss, allowMissingColumns=True)
 
 
 def resolve_overlap(
@@ -385,13 +370,11 @@ def resolve_overlap(
     the documented intent of the API.
     """
     part = [doc_col] if doc_col else []
-    # NULL-ovl_id rows are unconditionally kept (R/overlaps.R:563) — route
-    # them around the window family (same rationale as categorize_overlap).
-    if all_grouped:
-        miss = None
-    else:
-        miss = df.filter(F.col("ovl_id").isNull())
-        df = df.filter(F.col("ovl_id").isNotNull())
+    # NULL-ovl_id rows are unconditionally kept (R/overlaps.R:563). Like
+    # categorize_overlap they stay INLINE — the winner expression below
+    # keeps them unconditionally, so no hit/miss split (which would
+    # execute the upstream plan twice) is needed; the (doc, NULL) window
+    # groups are bounded by a document's mention count.
     # forward iteration => the LAST matching keep entry ends up outermost in
     # the when-chain, so it wins (reference parity, R/overlaps.R:569-571).
     keep_prio = F.lit(None).cast("int")
@@ -461,7 +444,6 @@ def resolve_overlap(
     else:
         winner = F.when(needs_tiebreak, F.lit(False)).otherwise(F.col("_cand"))
 
-    out = x.filter(winner).drop("_keep", "_pos_min", "_n_at_min", "_cand", "_rn")
-    if miss is None:
-        return out
-    return out.unionByName(miss, allowMissingColumns=True)
+    # NULL-ovl_id rows are kept unconditionally (no resolution applies)
+    winner = F.when(F.col("ovl_id").isNull(), F.lit(True)).otherwise(winner)
+    return x.filter(winner).drop("_keep", "_pos_min", "_n_at_min", "_cand", "_rn")

@@ -113,6 +113,62 @@ def _norm(a):
     )
 
 
+def _sketch_sig_udf(
+    planes: list[list[float]], n_planes: int, n_tables: int,
+    sig_planes: list[list[float]] | None,
+):
+    """Arrow-batched fused kernel: per vector, all ``n_tables`` bucket ids
+    AND (optionally) the wide sign signature in one JVM->Python crossing.
+
+    Replaces ``n_tables x n_planes`` interpreted ``aggregate(zip_with())``
+    folds per row (CodegenFallback, ~50 us each) plus a second UDF pass
+    for the signature. Dot products accumulate column-by-column — the
+    left-to-right IEEE sequence of the fold and of DuckDB's
+    list_dot_product — and the bucket sign test applies the same
+    round-to-6 the relational expression used, so bucket ids and
+    signature words are bit-identical to the oracle's by construction.
+    """
+    P = np.array(planes, dtype=np.float64)  # (n_tables*n_planes, dim)
+    S = (
+        np.array(sig_planes, dtype=np.float64)
+        if sig_planes is not None
+        else None
+    )
+    n_words = (
+        (len(sig_planes) + SIG_WORD_BITS - 1) // SIG_WORD_BITS
+        if sig_planes is not None
+        else 0
+    )
+
+    @pandas_udf("struct<buckets:array<int>, sig:array<long>>")
+    def sketch(vecs: pd.Series) -> pd.DataFrame:
+        A = np.stack(vecs.values).astype(np.float64)  # (batch, dim)
+        accP = np.zeros((len(vecs), P.shape[0]), dtype=np.float64)
+        for i in range(P.shape[1]):
+            accP += A[:, i : i + 1] * P[:, i]
+        sides = np.round(accP, 6) > 0  # same rounded sign test as the SQL
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        buckets = np.zeros((len(vecs), n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            buckets[:, t] = sides[:, t * n_planes : (t + 1) * n_planes] @ weights
+        out = {"buckets": list(buckets)}
+        if S is not None:
+            accS = np.zeros((len(vecs), S.shape[0]), dtype=np.float64)
+            for i in range(S.shape[1]):
+                accS += A[:, i : i + 1] * S[:, i]
+            bits = accS > 0  # raw sign — matches the oracle's unrounded test
+            words = np.zeros((len(vecs), n_words), dtype=np.int64)
+            for b in range(S.shape[0]):
+                w, off = divmod(b, SIG_WORD_BITS)
+                words[:, w] |= bits[:, b].astype(np.int64) << off
+            out["sig"] = list(words)
+        else:
+            out["sig"] = [None] * len(vecs)
+        return pd.DataFrame(out)
+
+    return sketch
+
+
 def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -511,36 +567,30 @@ def embedding_near_duplicates(
     else:
         planes = _hyperplanes(dim, n_planes * n_tables, seed)
         n_words = (sig_bits + SIG_WORD_BITS - 1) // SIG_WORD_BITS
-        base = raw
-        sig_cols: list[str] = []
-        if hamming_prefilter:
-            sig_udf = _signature_udf(_hyperplanes(dim, sig_bits, sig_seed))
-            sig_cols = [f"_s{w}" for w in range(n_words)]
-            base = raw.withColumn("_sig", sig_udf(F.col("vec"))).select(
-                "vid",
-                "vec",
-                *[
-                    F.element_at(F.col("_sig"), w + 1).alias(c)
-                    for w, c in enumerate(sig_cols)
-                ],
-            )
+        sig_cols: list[str] = (
+            [f"_s{w}" for w in range(n_words)] if hamming_prefilter else []
+        )
+        # ONE Arrow crossing computes every table's bucket and the wide
+        # signature together (see _sketch_sig_udf) — the previous plan
+        # evaluated n_tables x n_planes interpreted folds per row plus a
+        # second UDF for the signature.
+        fused = _sketch_sig_udf(
+            planes, n_planes, n_tables,
+            _hyperplanes(dim, sig_bits, sig_seed) if hamming_prefilter else None,
+        )
+        base = raw.withColumn("_sk", fused(F.col("vec"))).select(
+            "vid",
+            *[
+                F.element_at(F.col("_sk.sig"), w + 1).alias(c)
+                for w, c in enumerate(sig_cols)
+            ],
+            F.col("_sk.buckets").alias("_buckets"),
+        )
         sk = base.select(
             "vid",
             *sig_cols,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            sketch_expr(
-                                F.col("vec"), planes[t * n_planes : (t + 1) * n_planes]
-                            ).alias("bucket"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select("vid", *sig_cols, "tb.tbl", "tb.bucket")
+            F.posexplode(F.col("_buckets")).alias("tbl", "bucket"),
+        ).select("vid", *sig_cols, "tbl", "bucket")
         probe = sk
         if multiprobe:
             flips = [0] + [1 << i for i in range(n_planes)]

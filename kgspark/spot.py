@@ -40,6 +40,14 @@ def make_spot_udf(source):
     def _spot(texts: pd.Series) -> pd.Series:
         ac = load_automaton_from_artifact(source) if by_path else source.value
 
+        if hasattr(ac, "find_word_bounded_batch"):
+            # vectorized path: the whole Arrow batch is matched in one
+            # numpy pass (kgspark.automaton.FlatMatcher)
+            per_doc = ac.find_word_bounded_batch(texts.tolist())
+            return pd.Series(
+                [[{"off0": s, "sf": p} for s, p in hits] for hits in per_doc]
+            )
+
         def one(t):
             if t is None:
                 return []
