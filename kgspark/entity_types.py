@@ -25,23 +25,43 @@ from collections import defaultdict
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _cat_flags(col: Column, pairs: list[tuple[str, str]]) -> dict[str, Column]:
+    """category -> 'this row carries one of its types' boolean, per KB col.
+
+    The dedupe + sort of matched categories is done STATICALLY (category
+    names are compile-time constants), so the whole operator stays in
+    whole-stage codegen: the previous formulation ran filter/array_sort/
+    array_distinct higher-order functions per row — CodegenFallback,
+    interpreted, and the hottest part of the entity-typing stage.
+    """
+    types_arr = F.split(F.regexp_replace(col, r"^\|+|\|+$", ""), r"\|")
+    by_cat: dict[str, list[str]] = {}
+    for cat, typ in pairs:
+        by_cat.setdefault(cat, []).append(typ)
+    flags = {}
+    for cat, typs in by_cat.items():
+        m = F.array_contains(types_arr, F.lit(typs[0]))
+        for typ in typs[1:]:
+            m = m | F.array_contains(types_arr, F.lit(typ))
+        flags[cat] = col.isNotNull() & F.coalesce(m, F.lit(False))
+    return flags
+
+
 def _category_expr(
     col: Column, pairs: list[tuple[str, str]], other: str
 ) -> Column:
     """T1 over one pipe-wrapped types column. pairs = [(category, type)]."""
-    types_arr = F.split(F.regexp_replace(col, r"^\|+|\|+$", ""), r"\|")
-    cats = F.array(
-        *[
-            F.when(F.array_contains(types_arr, F.lit(typ)), F.lit(cat))
-            for cat, typ in pairs
-        ]
+    flags = _cat_flags(col, pairs)
+    any_match = None
+    for m in flags.values():
+        any_match = m if any_match is None else (any_match | m)
+    # concat_ws skips NULL entries -> the sorted pipe-join of exactly the
+    # matched categories, dedup/sort resolved at plan-build time
+    joined = F.concat_ws(
+        "|", *[F.when(flags[c], F.lit(c)) for c in sorted(flags)]
     )
-    matched = F.array_sort(
-        F.array_distinct(F.filter(cats, lambda c: c.isNotNull()))
-    )
-    joined = F.array_join(matched, "|")
     return F.when(
-        col.isNull() | (F.size(matched) == 0), F.lit(other)
+        col.isNull() | ~F.coalesce(any_match, F.lit(False)), F.lit(other)
     ).otherwise(joined)
 
 
@@ -91,18 +111,35 @@ def entity_types_map(
                 )
             seen[typ] = cat
 
-    kb_cols = [
-        _category_expr(F.col(f"{kb}_type"), pairs, other)
-        for kb, pairs in per_kb.items()
-    ]
-    if len(kb_cols) == 1:
-        category = kb_cols[0]
+    if len(per_kb) == 1:
+        ((kb, pairs),) = per_kb.items()
+        category = _category_expr(F.col(f"{kb}_type"), pairs, other)
     else:
-        # cross-KB merge: re-split, unique, sort, re-join (R/entity_types.R:195-208)
-        merged = F.array_sort(
-            F.array_distinct(
-                F.flatten(F.array(*[F.split(c, r"\|") for c in kb_cols]))
-            )
+        # cross-KB merge (R/entity_types.R:195-208): the per-KB category
+        # strings are re-split, uniqued, sorted, re-joined — done here on
+        # compile-time category flags (a KB with no match contributes
+        # ``other``), so the merge is a codegen concat_ws instead of the
+        # per-row flatten/distinct/sort HOF chain.
+        merged_flags: dict[str, Column] = {}
+        other_flag = None
+        for kb, pairs in per_kb.items():
+            col = F.col(f"{kb}_type")
+            flags = _cat_flags(col, pairs)
+            any_match = None
+            for m in flags.values():
+                any_match = m if any_match is None else (any_match | m)
+            kb_other = col.isNull() | ~F.coalesce(any_match, F.lit(False))
+            other_flag = kb_other if other_flag is None else (other_flag | kb_other)
+            for cat, m in flags.items():
+                merged_flags[cat] = (
+                    m if cat not in merged_flags else (merged_flags[cat] | m)
+                )
+        merged_flags[other] = (
+            other_flag
+            if other not in merged_flags
+            else (merged_flags[other] | other_flag)
         )
-        category = F.array_join(merged, "|")
+        category = F.concat_ws(
+            "|", *[F.when(merged_flags[c], F.lit(c)) for c in sorted(merged_flags)]
+        )
     return df.withColumn(out_col, category)

@@ -64,17 +64,23 @@ def detect_overlap(
     part = [doc_col] if doc_col else []
     order = [F.col(start_col), F.col(end_col), F.col(text_col)]
     w = Window.partitionBy(*part).orderBy(*order)
-    max_prev_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    is_new = F.when(
-        max_prev_end.isNull() | (F.col(start_col) > max_prev_end), F.lit(1)
-    ).otherwise(F.lit(0))
-
-    out = df.withColumn("_is_new", is_new)
+    # materialize each window value once per pass — referencing the window
+    # expression twice (null test + comparison) makes WindowExec evaluate
+    # the frame twice
+    out = df.withColumn(
+        "_mpe", F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ).withColumn(
+        "_is_new",
+        F.when(
+            F.col("_mpe").isNull() | (F.col(start_col) > F.col("_mpe")), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
     # a row's group is "multi" iff the row is a non-first member, or the next
     # row (same sort) is a non-first member — avoids a second shuffle.
-    nxt = F.lead("_is_new").over(w)
-    out = out.withColumn(
-        "_multi", (F.col("_is_new") == 0) | (nxt.isNotNull() & (nxt == 0))
+    out = out.withColumn("_nxt", F.lead("_is_new").over(w)).withColumn(
+        "_multi",
+        (F.col("_is_new") == 0)
+        | (F.col("_nxt").isNotNull() & (F.col("_nxt") == 0)),
     )
     k = F.sum(F.col("_is_new") * F.col("_multi").cast("int")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
@@ -85,7 +91,7 @@ def detect_overlap(
         ovl_id = F.format_string("ovl_%d", k)
     return (
         out.withColumn("ovl_id", F.when(F.col("_multi"), ovl_id))
-        .drop("_is_new", "_multi")
+        .drop("_mpe", "_nxt", "_is_new", "_multi")
     )
 
 
@@ -133,39 +139,45 @@ def categorize_overlap(
     # compatibility; both values take the same single-pass plan.
     s, e = F.col(start_col), F.col(end_col)
     length = e - s
-    x = (
-        df.withColumn("_n_uri", F.size(F.collect_set(uri_col).over(grp)))
-        .withColumn("_n_span", F.size(F.collect_set(F.struct(s, e)).over(grp)))
-        .withColumn(
-            "_inner",
-            F.coalesce(
-                F.max(e).over(grp_sorted.rowsBetween(Window.unboundedPreceding, -1)) >= e,
-                F.lit(False),
-            ),
-        )
-        .withColumn(
-            "_outer",
-            F.coalesce(
-                F.min(e).over(grp_sorted.rowsBetween(1, Window.unboundedFollowing)) <= e,
-                F.lit(False),
-            ),
-        )
-        .withColumn("_min_len", F.min(length).over(grp))
-        .withColumn("_max_len", F.max(length).over(grp))
-        .withColumn(
-            "_n_min", F.sum((length == F.col("_min_len")).cast("int")).over(grp)
-        )
-        .withColumn(
-            "_n_max", F.sum((length == F.col("_max_len")).cast("int")).over(grp)
-        )
-        .withColumn(
-            "_start_dup",
-            F.count(F.lit(1)).over(Window.partitionBy(*part, "ovl_id", start_col)) > 1,
-        )
-        .withColumn(
-            "_has_containment",
-            F.max((F.col("_inner") | F.col("_start_dup")).cast("int")).over(grp) == 1,
-        )
+    # Window-pass economy: the original formulation chained ten
+    # ``withColumn`` windows, which Catalyst could not collapse (every
+    # intermediate Project blocks CollapseWindow) — the physical plan ran
+    # TWELVE WindowExec passes over the stream. Here the group-level
+    # aggregates ride ONE collect pass (same grp spec, emitted in a single
+    # projection so they share one WindowExec), and the counts at
+    # min/max length are derived from the collected length array with
+    # per-row array expressions — overlap groups are small (an overlap
+    # chain within one document), so the interpreted array math is on
+    # tiny arrays while twelve full-stream passes collapse into four.
+    x = df.select(
+        "*",
+        F.size(F.collect_set(uri_col).over(grp)).alias("_n_uri"),
+        F.size(F.collect_set(F.struct(s, e)).over(grp)).alias("_n_span"),
+        F.collect_list(length).over(grp).alias("_lens"),
+    ).select(
+        "*",
+        F.array_min(F.col("_lens")).alias("_min_len"),
+        F.array_max(F.col("_lens")).alias("_max_len"),
+    ).select(
+        "*",
+        F.size(F.filter(F.col("_lens"), lambda v: v == F.col("_min_len"))).alias("_n_min"),
+        F.size(F.filter(F.col("_lens"), lambda v: v == F.col("_max_len"))).alias("_n_max"),
+        F.coalesce(
+            F.max(e).over(grp_sorted.rowsBetween(Window.unboundedPreceding, -1)) >= e,
+            F.lit(False),
+        ).alias("_inner"),
+        F.coalesce(
+            F.min(e).over(grp_sorted.rowsBetween(1, Window.unboundedFollowing)) <= e,
+            F.lit(False),
+        ).alias("_outer"),
+        (
+            F.count(F.lit(1)).over(Window.partitionBy(*part, "ovl_id", start_col)) > 1
+        ).alias("_start_dup"),
+    ).select(
+        "*",
+        (
+            F.max((F.col("_inner") | F.col("_start_dup")).cast("int")).over(grp) == 1
+        ).alias("_has_containment"),
     )
 
     # last-assignment-wins chain (R/overlaps.R:444-477): longest > shortest >
@@ -202,8 +214,8 @@ def categorize_overlap(
             flag,
             F.when(F.col("ovl_id").isNotNull(), F.col("ovl_type").contains(flag)),
         )
-    helper = ["_n_uri", "_n_span", "_inner", "_outer", "_min_len", "_max_len",
-              "_n_min", "_n_max", "_start_dup", "_has_containment"]
+    helper = ["_n_uri", "_n_span", "_lens", "_inner", "_outer", "_min_len",
+              "_max_len", "_n_min", "_n_max", "_start_dup", "_has_containment"]
     x = x.drop(*[c for c in helper if c in x.columns])
     if not keep_type_col:
         x = x.drop("ovl_type")
@@ -389,12 +401,20 @@ def resolve_overlap(
     )
     grp = Window.partitionBy(*part, "ovl_id")
     pos = F.when(F.col("_keep") > 0, F.col("_keep"))
+    # one window pass: collect the (non-null) priorities per group, derive
+    # min and the count-at-min from the tiny array — collect_list drops
+    # NULL entries exactly like min()/the null-skipping sum did.
     x = (
-        x.withColumn("_pos_min", F.min(pos).over(grp))
+        x.withColumn("_poss", F.collect_list(pos).over(grp))
+        .withColumn("_pos_min", F.array_min(F.col("_poss")))
         .withColumn(
             "_n_at_min",
-            F.sum((pos == F.col("_pos_min")).cast("int")).over(grp),
+            F.when(
+                F.col("_pos_min").isNotNull(),
+                F.size(F.filter(F.col("_poss"), lambda v: v == F.col("_pos_min"))),
+            ),
         )
+        .drop("_poss")
     )
     # candidate set per the reference's tiebreak_fun (R/overlaps.R:590-619)
     candidate = F.when(

@@ -172,6 +172,11 @@ def run_pipeline(
             # downstream overlap window family; A/B-confirmed at the driver
             # yardstick — see PipelineConfig.partition_by_doc.
             partition_by_doc=cfg.partition_by_doc,
+            # narrow rows through the cache + window family; the type
+            # payload re-attaches once, post-resolution (attach_types) —
+            # with a D6 type restriction the types must ride along for
+            # the filter, so the narrow contract only applies without it.
+            attach_type_cols=bool(cfg.types),
         ),
         cache=True,
     )
@@ -189,7 +194,12 @@ def run_pipeline(
 
     typed = runner.run(
         "entity_types",
-        lambda: entity_types.entity_types_map(resolved, cfg.mapping),
+        lambda: entity_types.entity_types_map(
+            resolved
+            if "DBpedia_type" in resolved.columns
+            else disambig.attach_types(resolved, lexicon),
+            cfg.mapping,
+        ),
     )
 
     redirects_closed = (
