@@ -92,12 +92,55 @@ def _redirects_closed(spark: SparkSession):
     return _RD_CLOSED
 
 
+# Inputs below this size are re-spread across the executor cores after the
+# scan: the testdata parquet files are single-row-group (the scan cannot be
+# split below a row group, so EVERY narrow map stage otherwise runs on one
+# task, serializing regex/UDF work on one core of local[32]); the
+# round-robin exchange of a few MB costs ~0.05 s and unlocks full map
+# parallelism. Large inputs (any real crawl shard) already scan as many
+# splits, so they are left untouched — the gate derives from input size and
+# core count, not from a local-mode constant.
+_SMALL_INPUT_BYTES = 256 << 20
+
+
+def _input_bytes(path: str) -> int:
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(path, "**"), recursive=True)
+            if os.path.isfile(f)
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return _SMALL_INPUT_BYTES  # unknown (non-local FS): leave untouched
+
+
+def _read_spread(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    if _input_bytes(path) < _SMALL_INPUT_BYTES:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_spread(spark, f"{sf_dir}/documents.parquet")
+
+
+# per-row compute-heavy tables (regex/Arrow-kernel map work) benefit from
+# the spread; the relational star-schema tables reach full parallelism at
+# their own aggregation/join exchanges, so spreading them only adds one.
+_SPREAD_TABLES = {"embeddings"}
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if name in _SPREAD_TABLES:
+        return _read_spread(spark, path)
+    return spark.read.parquet(path)
 
 
 def _spots(spark, sf_dir):
@@ -464,7 +507,12 @@ def q_stratified_sample(spark, sf_dir):
 
 
 def q_unigram_logprob(spark, sf_dir):
-    return textops.unigram_logprob(_docs(spark, sf_dir))
+    # NO scan spread here: the per-doc avg() of rounded log-probs is a
+    # float sum whose last ulp depends on row order; the frozen oracle
+    # agreed with the original single-split evaluation order, and a
+    # repartition flips one-in-500 docs across a 6-dp rounding boundary
+    # (observed at sf0.01). Keep the scan layout the oracle was pinned on.
+    return textops.unigram_logprob(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_tfidf_topk(spark, sf_dir):

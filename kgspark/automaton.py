@@ -101,16 +101,17 @@ class FlatMatcher:
     numpy overhead is paid once, not per document.
     """
 
-    __slots__ = ("patterns", "_tables", "_lengths", "_has_nul", "_max_len")
+    __slots__ = ("_patterns", "_tables", "_lengths", "_has_nul", "_max_len")
 
     # gather-matrix cap: bounds the (starts x L) uint32 scratch to ~128 MB
     _CHUNK = 1 << 19
 
     def __init__(self, patterns: Iterable[str]):
-        self.patterns: list[str] = sorted(set(p for p in patterns if p))
-        self._has_nul = any("\x00" in p for p in self.patterns)
+        pats = sorted(set(p for p in patterns if p))
+        self._patterns: list[str] | None = pats
+        self._has_nul = any("\x00" in p for p in pats)
         by_len: dict[int, list[str]] = {}
-        for p in self.patterns:
+        for p in pats:
             by_len.setdefault(len(p), []).append(p)
         # per length: (sorted S{4L} table, sorted uint32 array of first chars)
         self._tables: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -124,6 +125,62 @@ class FlatMatcher:
             self._tables[L] = (keys, firsts)
         self._lengths = sorted(self._tables)
         self._max_len = self._lengths[-1] if self._lengths else 0
+
+    @property
+    def patterns(self) -> list[str]:
+        if self._patterns is None:  # compiled load — decode lazily
+            pats = []
+            for L in self._lengths:
+                keys, _ = self._tables[L]
+                raw = keys.tobytes()
+                pats.extend(
+                    raw[i * 4 * L : (i + 1) * 4 * L].decode("utf-32-le", "surrogatepass")
+                    for i in range(len(keys))
+                )
+            self._patterns = sorted(pats)
+        return self._patterns
+
+    @classmethod
+    def _from_tables(
+        cls, tables: dict[int, tuple[np.ndarray, np.ndarray]], has_nul: bool
+    ) -> "FlatMatcher":
+        self = cls.__new__(cls)
+        self._patterns = None
+        self._has_nul = has_nul
+        self._tables = tables
+        self._lengths = sorted(tables)
+        self._max_len = self._lengths[-1] if self._lengths else 0
+        return self
+
+    def save_compiled(self, directory: str) -> None:
+        """Write the tables as .npy files a sibling worker can mmap."""
+        import json
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        for L, (keys, firsts) in self._tables.items():
+            np.save(os.path.join(directory, f"keys_{L}.npy"), keys)
+            np.save(os.path.join(directory, f"firsts_{L}.npy"), firsts)
+        with open(os.path.join(directory, "meta.json"), "w") as f:
+            json.dump({"lengths": self._lengths, "has_nul": self._has_nul}, f)
+
+    @classmethod
+    def load_compiled(cls, directory: str) -> "FlatMatcher":
+        """mmap the compiled tables — milliseconds per worker, and the OS
+        page cache holds ONE copy of the pattern bytes host-wide."""
+        import json
+        import os
+
+        with open(os.path.join(directory, "meta.json")) as f:
+            meta = json.load(f)
+        tables = {
+            int(L): (
+                np.load(os.path.join(directory, f"keys_{L}.npy"), mmap_mode="r"),
+                np.load(os.path.join(directory, f"firsts_{L}.npy"), mmap_mode="r"),
+            )
+            for L in meta["lengths"]
+        }
+        return cls._from_tables(tables, bool(meta["has_nul"]))
 
     @staticmethod
     def _codepoints(text: str) -> np.ndarray:
@@ -335,20 +392,90 @@ def write_lexicon_artifact(lexicon, path: str) -> str:
     return path
 
 
+def _read_artifact_forms(path: str) -> list[str]:
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    forms: list[str] = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        forms.extend(pq.read_table(f, columns=["surface_form"]).column(0).to_pylist())
+    return forms
+
+
 def load_automaton_from_artifact(path: str):
-    """Executor-side: read the artifact with pyarrow and build the
-    automaton once per python worker process (module-level cache; hits on
-    every subsequent batch while spark.python.worker.reuse holds)."""
+    """Executor-side automaton with a build-once-per-HOST protocol.
+
+    The first worker to need the artifact compiles the flat tables and
+    publishes them as mmap-able .npy files next to the parquet (atomic
+    tempdir + rename under a lock file); every other worker — including
+    cold ones joining the pool later — loads the compiled form in
+    milliseconds, and the OS page cache keeps ONE host-wide copy of the
+    pattern bytes instead of a private heap per process. Falls back to a
+    private in-process build whenever the shared directory is not
+    writable or the lock is contended past a short wait (correctness
+    never depends on the cache). Per-process memo on top, as before."""
     auto = _PROCESS_CACHE.get(path)
+    if auto is not None:
+        return auto
+
+    import os
+    import tempfile
+    import time
+
+    compiled = os.path.join(path, "_flat_compiled")
+    marker = os.path.join(compiled, "meta.json")
+
+    def _try_load():
+        try:
+            if os.path.exists(marker):
+                return FlatMatcher.load_compiled(compiled)
+        except Exception:
+            return None
+        return None
+
+    auto = _try_load()
     if auto is None:
-        import glob
-        import os
+        lock_fd = None
+        try:
+            import fcntl
 
-        import pyarrow.parquet as pq
-
-        forms: list[str] = []
-        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
-            forms.extend(pq.read_table(f, columns=["surface_form"]).column(0).to_pylist())
-        auto = build_automaton(forms)
-        _PROCESS_CACHE[path] = auto
+            lock_fd = os.open(os.path.join(path, "_flat_compiled.lock"),
+                              os.O_CREAT | os.O_RDWR)
+            got = False
+            # bounded wait: either we win the build lock, or the winner
+            # publishes the marker while we poll
+            for _ in range(600):
+                try:
+                    fcntl.lockf(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    got = True
+                    break
+                except OSError:
+                    auto = _try_load()
+                    if auto is not None:
+                        break
+                    time.sleep(0.05)
+            if auto is None and got:
+                auto = _try_load()  # published while we waited on the lock
+                if auto is None:
+                    built = FlatMatcher(_read_artifact_forms(path))
+                    try:
+                        tmp = tempfile.mkdtemp(prefix="_flat_tmp_", dir=path)
+                        built.save_compiled(tmp)
+                        os.rename(tmp, compiled)
+                    except OSError:
+                        pass
+                    auto = built
+        except Exception:
+            auto = None
+        finally:
+            if lock_fd is not None:
+                try:
+                    os.close(lock_fd)  # releases the lock
+                except OSError:
+                    pass
+    if auto is None:
+        auto = build_automaton(_read_artifact_forms(path))
+    _PROCESS_CACHE[path] = auto
     return auto

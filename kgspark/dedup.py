@@ -368,6 +368,20 @@ def connected_components(
         edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
     ).distinct().persist()
 
+    def _sum_probe(lbl: DataFrame):
+        # labels only ever DECREASE under min-propagation, so the label sum
+        # is strictly monotone: sum unchanged <=> fixpoint reached. One agg
+        # over the freshly persisted frame both materializes the cache and
+        # answers the convergence probe — the previous shape paid a second
+        # job (a join of new vs old labels + count) every round. DECIMAL
+        # sum: a bigint sum over 10^12-scale ids could overflow and fake
+        # convergence.
+        row = lbl.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        return (row["s"], row["n"])
+
     labels = (
         edges.groupBy("x")
         .agg(F.min("y").alias("nb"))
@@ -375,7 +389,7 @@ def connected_components(
                 F.least(F.col("x"), F.col("nb")).alias("component"))
         .persist()
     )
-    labels.count()
+    probe = _sum_probe(labels)
     changed = -1
     for _ in range(max_iter):
         msgs = edges.join(
@@ -386,11 +400,9 @@ def connected_components(
             .groupBy("node").agg(F.min("component").alias("component"))
             .persist()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old"), "node"
-            ).filter(F.col("component") != F.col("old")).count()
-        )
+        new_probe = _sum_probe(new_labels)
+        changed = 0 if new_probe == probe else 1
+        probe = new_probe
         labels.unpersist()
         labels = new_labels
         if changed == 0:

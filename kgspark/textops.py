@@ -31,10 +31,28 @@ def bpe_token_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(BPE_PATTERN))
 
 
+def _word_set_count(col: Column, words: list[str]) -> Column:
+    """How many whitespace tokens of ``col`` equal one of ``words``.
+
+    Tokens are maximal ``\\s+``-separated runs, so "token == w" is exactly
+    "occurrence of w bounded by whitespace or string edge" for the
+    single-word entries in our marker/stopword lists — one codegen
+    regexp_count instead of an interpreted filter(array_contains) pass
+    over the token array (higher-order functions are CodegenFallback).
+    Words are regex-quoted; any entry containing whitespace would break
+    the token equivalence and is rejected loudly.
+    """
+    import re as _re
+
+    for w in words:
+        if _re.search(r"\s", w) or not w:
+            raise ValueError(f"word-set entries must be single words: {w!r}")
+    alt = "|".join(sorted((_re.escape(w) for w in words), key=len, reverse=True))
+    return F.regexp_count(col, F.lit(rf"(?<=\s|^)(?:{alt})(?=\s|$)"))
+
+
 def _marker_count(col: Column, markers: list[str]) -> Column:
-    toks = tokens(F.lower(col))
-    arr = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return _word_set_count(F.lower(col), markers)
 
 
 def lang_id(col: Column, marker_sets: dict[str, list[str]] | None = None) -> Column:
@@ -54,10 +72,9 @@ def lang_id(col: Column, marker_sets: dict[str, list[str]] | None = None) -> Col
 
 
 def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
-    toks = tokens(F.lower(col))
-    arr = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
-    n = F.size(toks)
-    return F.when(n > 0, F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / n).otherwise(F.lit(0.0))
+    n = F.size(tokens(F.lower(col)))
+    n_sw = _word_set_count(F.lower(col), stopwords or EN_STOPWORDS)
+    return F.when(n > 0, n_sw / n).otherwise(F.lit(0.0))
 
 
 def punct_ratio(col: Column) -> Column:
@@ -125,20 +142,35 @@ def _nonempty(arr: Column) -> Column:
 
 
 def repetition_stats(col: Column) -> dict[str, Column]:
-    lines = _nonempty(F.split(col, "\n"))
-    toks = _nonempty(F.split(col, r"\s+"))
-    n_lines = F.size(lines)
-    n_words = F.size(toks)
+    # codegen formulation (the filter/aggregate higher-order functions of
+    # the original are CodegenFallback — interpreted per row):
+    # - count of non-empty tokens/lines = count of maximal non-separator
+    #   runs (one regexp_count each);
+    # - distinct non-empty count = distinct over the raw split minus the
+    #   one empty-string entry the split can contribute;
+    # - total token length = chars remaining after deleting every
+    #   whitespace char.
+    raw_lines = F.split(col, "\n")
+    raw_toks = F.split(col, r"\s+")
+    n_lines = F.regexp_count(col, F.lit(r"[^\n]+"))
+    n_words = F.regexp_count(col, F.lit(r"\S+"))
+    n_lines_distinct = (
+        F.size(F.array_distinct(raw_lines))
+        - F.array_contains(raw_lines, "").cast("int")
+    )
+    n_words_distinct = (
+        F.size(F.array_distinct(raw_toks))
+        - F.array_contains(raw_toks, "").cast("int")
+    )
     dup_line_frac = F.round(
         F.when(n_lines > 0,
-               F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines
+               F.lit(1.0) - n_lines_distinct / n_lines
                ).otherwise(F.lit(0.0)), 6)
     dup_word_frac = F.round(
         F.when(n_words > 0,
-               F.lit(1.0) - F.size(F.array_distinct(toks)) / n_words
+               F.lit(1.0) - n_words_distinct / n_words
                ).otherwise(F.lit(0.0)), 6)
-    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
-                          lambda acc, t: acc + F.length(t))
+    sum_len = F.length(F.regexp_replace(col, r"\s", "")).cast("long")
     mean_word_len = F.round(
         F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0)), 6)
     symbol_word_ratio = F.round(
