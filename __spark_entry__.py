@@ -126,7 +126,9 @@ def _read_spread(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    if not spread:
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
     return _read_spread(spark, f"{sf_dir}/documents.parquet")
 
 
@@ -136,9 +138,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPREAD_TABLES = {"embeddings"}
 
 
-def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _load(spark: SparkSession, sf_dir: str, name: str,
+          spread: bool | None = None) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
-    if name in _SPREAD_TABLES:
+    if spread is None:
+        spread = name in _SPREAD_TABLES
+    if spread:
         return _read_spread(spark, path)
     return spark.read.parquet(path)
 
@@ -346,7 +351,9 @@ def q_triples(spark, sf_dir):
 
 def q_align_tokens(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    aligned = align_mentions(_spots(spark, sf_dir), token_table(docs, doc_col="doc_id"))
+    aligned = align_mentions(
+        _spots(spark, sf_dir), token_table(docs, doc_col="doc_id", with_gap=True)
+    )
     return aligned.select(
         "doc_id", "start", "text", "end", "cpos_left", "cpos_right", "covered_words"
     )
@@ -357,7 +364,7 @@ def q_align_exact(spark, sf_dir):
     (the reference's default path; R/dbpedia.R:835-852)."""
     docs = _docs(spark, sf_dir)
     aligned = align_mentions(
-        _spots(spark, sf_dir), token_table(docs, doc_col="doc_id"),
+        _spots(spark, sf_dir), token_table(docs, doc_col="doc_id", with_gap=True),
         expand_to_token=False,
     )
     return aligned.select(
@@ -367,9 +374,9 @@ def q_align_exact(spark, sf_dir):
 
 def q_align_regions(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    toks = token_table(docs, doc_col="doc_id")
+    toks = token_table(docs, doc_col="doc_id", with_gap=True)
     aligned = align_mentions(_spots(spark, sf_dir), toks)
-    return align_regions(aligned, sentence_regions(toks, tokens_per_region=10))
+    return align_regions(aligned, sentence_regions(toks.drop("gap"), tokens_per_region=10))
 
 
 def q_lang_id(spark, sf_dir):
@@ -451,7 +458,7 @@ def _url_docs(spark, sf_dir):
                     F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")))
     query = F.when(i % 5 == 0, F.lit("?utm_source=feed")).otherwise(F.lit(""))
     frag = F.when(i % 7 == 0, F.lit("#frag")).otherwise(F.lit(""))
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, spread=False).select(
         "doc_id", F.concat(scheme, host, path, query, frag).alias("url"))
 
 
@@ -493,7 +500,7 @@ def q_mixture_sample(spark, sf_dir):
     threshold per source, predicate sits on the parquet scan."""
     from kgspark.sampling import DEMO_WEIGHTS, mixture_sample
 
-    return mixture_sample(_docs(spark, sf_dir), DEMO_WEIGHTS).select(
+    return mixture_sample(_docs(spark, sf_dir, spread=False), DEMO_WEIGHTS).select(
         "doc_id", "source"
     )
 
@@ -503,7 +510,7 @@ def q_stratified_sample(spark, sf_dir):
     (bounded window partitions — no whole-stratum-in-one-task skew)."""
     from kgspark.sampling import stratified_sample
 
-    return stratified_sample(_docs(spark, sf_dir), k=7)
+    return stratified_sample(_docs(spark, sf_dir, spread=False), k=7)
 
 
 def q_unigram_logprob(spark, sf_dir):
@@ -516,13 +523,13 @@ def q_unigram_logprob(spark, sf_dir):
 
 
 def q_tfidf_topk(spark, sf_dir):
-    return textops.tfidf_topk(_docs(spark, sf_dir), k=5)
+    return textops.tfidf_topk(_docs(spark, sf_dir, spread=False), k=5)
 
 
 def q_pack_chunks(spark, sf_dir):
     """Materialized pack layout: boundary-straddling docs split into
     per-pack token ranges (integer explode from the shard window)."""
-    return textops.pack_chunks(_docs(spark, sf_dir), budget=2048, n_shards=8)
+    return textops.pack_chunks(_docs(spark, sf_dir, spread=False), budget=2048, n_shards=8)
 
 
 def q_quantize_embeddings(spark, sf_dir):
@@ -553,7 +560,7 @@ def q_cwb_compressed(spark, sf_dir):
     from kgspark.cwb import cwb_documents, write_cwb_corpus
 
     rows = (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .filter(F.col("doc_id") < 60)
         .select("doc_id", F.split("text", " ").alias("toks"))
         .orderBy("doc_id")
@@ -663,7 +670,7 @@ def q_uniform_sample(spark, sf_dir):
     md5 hash (no global sort, no single-partition window)."""
     from kgspark.sampling import uniform_sample
 
-    return uniform_sample(_docs(spark, sf_dir), n=100)
+    return uniform_sample(_docs(spark, sf_dir, spread=False), n=100)
 
 
 def q_assign_splits(spark, sf_dir):
@@ -671,7 +678,7 @@ def q_assign_splits(spark, sf_dir):
     integer hash, zero shuffle."""
     from kgspark.sampling import assign_splits
 
-    return assign_splits(_docs(spark, sf_dir)).select("doc_id", "source", "split")
+    return assign_splits(_docs(spark, sf_dir, spread=False)).select("doc_id", "source", "split")
 
 
 def q_dup_ngram_spans(spark, sf_dir):
@@ -683,7 +690,7 @@ def q_dup_ngram_spans(spark, sf_dir):
 
 
 def q_pack_sequences(spark, sf_dir):
-    return textops.pack_sequences(_docs(spark, sf_dir), budget=2048, n_shards=8)
+    return textops.pack_sequences(_docs(spark, sf_dir, spread=False), budget=2048, n_shards=8)
 
 
 def q_url_host_stats(spark, sf_dir):
@@ -759,7 +766,8 @@ def q_embed_neardup_lsh(spark, sf_dir):
 
 def q_embed_topk(spark, sf_dir):
     return cosine_topk(
-        _load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+        _load(spark, sf_dir, "embeddings", spread=False),
+        query_ids=[0, 1, 2, 3, 4], k=5,
     ).select("query_id", "neighbor_id", "rank")
 
 
@@ -830,7 +838,7 @@ def q_highlight(spark, sf_dir):
     cpos matrix from token alignment (R/utils.R:157-166)."""
     linked = _linked(spark, sf_dir)
     typed = highlight_view(entity_types_map(linked, oracles.TYPE_MAPPING))
-    toks = token_table(_docs(spark, sf_dir), doc_col="doc_id")
+    toks = token_table(_docs(spark, sf_dir), doc_col="doc_id", with_gap=True)
     aligned = align_mentions(linked.select("doc_id", "start", "text"), toks)
     return typed.join(
         aligned.select("doc_id", "start", "text", "cpos_left", "cpos_right"),

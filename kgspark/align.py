@@ -22,34 +22,96 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def token_table(
-    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text",
+    with_gap: bool = False,
 ) -> DataFrame:
     """(doc_id, cpos, word, begin, end): cpos 1-based, begin/end 1-based
-    inclusive char offsets."""
-    toks = docs.select(
-        F.col(doc_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "word"),
-    ).withColumn("cpos", F.col("pos0") + 1)
-    w = Window.partitionBy("doc_id").orderBy("cpos").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    return (
-        toks.withColumn(
-            "begin", F.coalesce(F.sum(F.length("word") + 1).over(w), F.lit(0)) + 1
-        )
-        .withColumn("end", F.col("begin") + F.length("word") - 1)
-        .select("doc_id", "cpos", "word", "begin", "end")
+    inclusive char offsets.
+
+    Arrow kernel instead of the original posexplode + running-sum window:
+    the offsets are a per-document cumulative sum, so computing them
+    inside the scan task removes a full-token-stream exchange + sort
+    (the window shuffled every token of the corpus just to add begin/end).
+    Token semantics are identical: ``text.split(" ")`` in Python equals
+    Spark's ``split(text, ' ')`` (limit -1: empties kept, incl. trailing).
+    ``with_gap=True`` additionally emits each token's distance to its
+    predecessor's end (``begin - prev_end``; 1 for the first token) so
+    ``_safe_bucket_chars`` needs no lag window either.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = docs.schema[doc_col].dataType
+    fields = [
+        T.StructField("doc_id", id_type),
+        T.StructField("cpos", T.IntegerType()),
+        T.StructField("word", T.StringType()),
+        T.StructField("begin", T.LongType()),
+        T.StructField("end", T.LongType()),
+    ]
+    if with_gap:
+        fields.append(T.StructField("gap", T.LongType()))
+    schema = T.StructType(fields)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids: list = []
+            cpos, words, begins, ends, gaps = [], [], [], [], []
+            for d, t in zip(pdf[doc_col], pdf[text_col]):
+                if t is None:
+                    continue  # posexplode(split(NULL)) emitted no rows
+                toks = t.split(" ")
+                n = len(toks)
+                lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                                   count=n)
+                b = np.empty(n, dtype=np.int64)
+                b[0] = 1
+                np.cumsum(lens[:-1] + 1, out=b[1:])
+                b[1:] += 1
+                e = b + lens - 1
+                ids.extend([d] * n)
+                cpos.append(np.arange(1, n + 1, dtype=np.int32))
+                words.extend(toks)
+                begins.append(b)
+                ends.append(e)
+                if with_gap:
+                    g = np.empty(n, dtype=np.int64)
+                    g[0] = b[0]
+                    g[1:] = b[1:] - e[:-1]
+                    gaps.append(g)
+            out = {
+                "doc_id": ids,
+                "cpos": np.concatenate(cpos) if cpos else np.array([], np.int32),
+                "word": words,
+                "begin": np.concatenate(begins) if begins else np.array([], np.int64),
+                "end": np.concatenate(ends) if ends else np.array([], np.int64),
+            }
+            if with_gap:
+                out["gap"] = (
+                    np.concatenate(gaps) if gaps else np.array([], np.int64)
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select(F.col(doc_col), F.col(text_col)).mapInPandas(
+        kernel, schema
     )
 
 
 def _safe_bucket_chars(tokens: DataFrame, floor_chars: int = 512) -> int:
     """Smallest bucket width that preserves the ±1-guard-bucket as-of
     guarantee for THIS token table: one guard bucket must reach back past
-    the longest (inter-token gap + token) run. One cheap eager agg."""
-    w = Window.partitionBy("doc_id").orderBy("cpos")
-    g = tokens.withColumn(
-        "_gap", F.col("begin") - F.coalesce(F.lag("end").over(w), F.lit(0))
-    )
+    the longest (inter-token gap + token) run. One cheap eager agg — and
+    when the token table carries the kernel-computed ``gap`` column
+    (token_table(with_gap=True)) the derivation is a plain narrow
+    aggregate with no lag window/exchange at all."""
+    if "gap" in tokens.columns:
+        g = tokens.withColumn("_gap", F.col("gap"))
+    else:
+        w = Window.partitionBy("doc_id").orderBy("cpos")
+        g = tokens.withColumn(
+            "_gap", F.col("begin") - F.coalesce(F.lag("end").over(w), F.lit(0))
+        )
     row = g.agg(
         F.max(F.col("end") - F.col("begin") + 1).alias("tok"),
         F.max("_gap").alias("gap"),
@@ -97,7 +159,7 @@ def align_mentions(
     if bucket_chars is None:
         bucket_chars = _safe_bucket_chars(tokens)
     m = mentions.withColumn("m_end", F.col("start") + F.length("text") - 1)
-    tb = tokens.withColumn(
+    tb = tokens.drop("gap").withColumn(
         "_bkt", F.floor((F.col("begin") - 1) / bucket_chars)
     )
     mb = m.withColumn(

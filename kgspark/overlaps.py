@@ -149,19 +149,12 @@ def categorize_overlap(
     # per-row array expressions — overlap groups are small (an overlap
     # chain within one document), so the interpreted array math is on
     # tiny arrays while twelve full-stream passes collapse into four.
+    # the ORDERED spec runs first: its (doc, ovl_id, start, end, text)
+    # sort satisfies every later window's lesser sort requirement
+    # ((doc, ovl_id[, start]) prefixes), so the whole family runs on ONE
+    # sort after detect's
     x = df.select(
         "*",
-        F.size(F.collect_set(uri_col).over(grp)).alias("_n_uri"),
-        F.size(F.collect_set(F.struct(s, e)).over(grp)).alias("_n_span"),
-        F.collect_list(length).over(grp).alias("_lens"),
-    ).select(
-        "*",
-        F.array_min(F.col("_lens")).alias("_min_len"),
-        F.array_max(F.col("_lens")).alias("_max_len"),
-    ).select(
-        "*",
-        F.size(F.filter(F.col("_lens"), lambda v: v == F.col("_min_len"))).alias("_n_min"),
-        F.size(F.filter(F.col("_lens"), lambda v: v == F.col("_max_len"))).alias("_n_max"),
         F.coalesce(
             F.max(e).over(grp_sorted.rowsBetween(Window.unboundedPreceding, -1)) >= e,
             F.lit(False),
@@ -170,14 +163,27 @@ def categorize_overlap(
             F.min(e).over(grp_sorted.rowsBetween(1, Window.unboundedFollowing)) <= e,
             F.lit(False),
         ).alias("_outer"),
+    ).select(
+        "*",
         (
             F.count(F.lit(1)).over(Window.partitionBy(*part, "ovl_id", start_col)) > 1
         ).alias("_start_dup"),
     ).select(
         "*",
+        F.size(F.collect_set(uri_col).over(grp)).alias("_n_uri"),
+        F.size(F.collect_set(F.struct(s, e)).over(grp)).alias("_n_span"),
+        F.collect_list(length).over(grp).alias("_lens"),
         (
             F.max((F.col("_inner") | F.col("_start_dup")).cast("int")).over(grp) == 1
         ).alias("_has_containment"),
+    ).select(
+        "*",
+        F.array_min(F.col("_lens")).alias("_min_len"),
+        F.array_max(F.col("_lens")).alias("_max_len"),
+    ).select(
+        "*",
+        F.size(F.filter(F.col("_lens"), lambda v: v == F.col("_min_len"))).alias("_n_min"),
+        F.size(F.filter(F.col("_lens"), lambda v: v == F.col("_max_len"))).alias("_n_max"),
     )
 
     # last-assignment-wins chain (R/overlaps.R:444-477): longest > shortest >
@@ -454,16 +460,26 @@ def resolve_overlap(
         raise ValueError(f"unknown tiebreak {tiebreak!r}")
 
     if order is not None:
-        wsel = Window.partitionBy(*part, "ovl_id").orderBy(
-            F.col("_cand").cast("int").desc(), *order
+        # sort-free selection: the tiebreak winner is the candidate row
+        # whose order key is the group-min (an unordered-frame min over
+        # the same grp spec — no extra sort pass, unlike the previous
+        # row_number window). The key is unique within a group — the
+        # linked table is keyed by (doc, start, text), so (start, end,
+        # text) repeats never — making "key == min" exactly "row_number
+        # == 1" under the same ordering.
+        sel_key = F.struct(*[c.alias(f"_k{i}") for i, c in enumerate(order)])
+        x = x.withColumn("_sel_key", sel_key).withColumn(
+            "_win_key", F.min(F.when(F.col("_cand"), sel_key)).over(grp)
         )
-        x = x.withColumn("_rn", F.row_number().over(wsel))
         winner = F.when(
-            needs_tiebreak, F.col("_cand") & (F.col("_rn") == 1)
+            needs_tiebreak,
+            F.col("_cand") & (F.col("_sel_key") == F.col("_win_key")),
         ).otherwise(F.col("_cand"))
     else:
         winner = F.when(needs_tiebreak, F.lit(False)).otherwise(F.col("_cand"))
 
     # NULL-ovl_id rows are kept unconditionally (no resolution applies)
     winner = F.when(F.col("ovl_id").isNull(), F.lit(True)).otherwise(winner)
-    return x.filter(winner).drop("_keep", "_pos_min", "_n_at_min", "_cand", "_rn")
+    return x.filter(winner).drop(
+        "_keep", "_pos_min", "_n_at_min", "_cand", "_sel_key", "_win_key"
+    )

@@ -258,11 +258,18 @@ def tfidf_topk(df, k: int = 5, text_col: str = "text", id_col: str = "doc_id"):
     )
     tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("word").agg(F.count_distinct(id_col).alias("df"))
-    n_docs = df.select(id_col).distinct().count()
-    scored = tf.join(dfreq, "word").select(
+    # corpus doc count as a broadcast 1-row frame instead of an EAGER
+    # .count() action at plan-build time — one less job per invocation,
+    # identical integer (the cast to double matches the old literal).
+    n_docs_df = F.broadcast(
+        df.select(id_col).distinct().agg(
+            F.count(F.lit(1)).cast("double").alias("_n_docs")
+        )
+    )
+    scored = tf.join(dfreq, "word").crossJoin(n_docs_df).select(
         id_col, "word", "tf",
         F.round(
-            F.col("tf") * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6), 6
+            F.col("tf") * F.round(F.log(F.col("_n_docs") / F.col("df")), 6), 6
         ).alias("tfidf"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("word"))
