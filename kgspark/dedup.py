@@ -493,7 +493,8 @@ def simhash_near_duplicates(
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_id", "band.band_key")
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -506,12 +507,16 @@ def simhash_near_duplicates(
             F.col("a.simhash").alias("h_a"),
             F.col("b.simhash").alias("h_b"),
         )
+        # verify (codegen bit_count) BEFORE the pair dedup: band collisions
+        # at 16-bit simhash are dense, so filtering first shrinks the
+        # dropDuplicates exchange to the true near-pair set instead of the
+        # full collision set — hamming is a pure function of the pair, so
+        # filter-then-dedup equals dedup-then-filter.
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "hamming")
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return pairs.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("doc_a", "doc_b", "hamming")
 
 
 # ---------------------------------------------------------------------------

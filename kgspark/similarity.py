@@ -173,6 +173,30 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _pair_cosine_udf():
+    """Arrow-batched cosine for candidate pairs — replaces three
+    interpreted aggregate/zip_with folds per row (dot + two norms). Each
+    accumulation runs column-by-column, the left-to-right IEEE sequence
+    of the fold and of DuckDB's list_dot_product, so the rounded
+    similarity is bit-identical to the relational expression."""
+
+    @pandas_udf("double")
+    def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.stack(va.values).astype(np.float64)
+        B = np.stack(vb.values).astype(np.float64)
+        n = len(va)
+        dot = np.zeros(n, dtype=np.float64)
+        na = np.zeros(n, dtype=np.float64)
+        nb = np.zeros(n, dtype=np.float64)
+        for i in range(A.shape[1]):
+            dot += A[:, i] * B[:, i]
+            na += A[:, i] * A[:, i]
+            nb += B[:, i] * B[:, i]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return pair_cos
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -192,7 +216,7 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     ).crossJoin(F.broadcast(q))
     sims = joined.filter(F.col("neighbor_id") != F.col("query_id")).withColumn(
-        "sim", F.round(cosine(F.col("qvec"), F.col("nvec")), 6)
+        "sim", F.round(_pair_cosine_udf()(F.col("qvec"), F.col("nvec")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -284,7 +308,7 @@ def hyperplane_lsh_topk(
         & (F.col("bucket") == F.col("qbucket"))
         & (F.col("neighbor_id") != F.col("query_id")),
     ).dropDuplicates(["query_id", "neighbor_id"])
-    scored = cand.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
+    scored = cand.withColumn("sim", F.round(_pair_cosine_udf()(F.col("qvec"), F.col("nvec")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -434,7 +458,7 @@ def ivf_topk(
         (F.col("c.cell") == F.col("q.cell"))
         & (F.col("c.neighbor_id") != F.col("q.query_id")),
     ).select("q.query_id", "q.qvec", "c.neighbor_id", "c.nvec")
-    scored = cand.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
+    scored = cand.withColumn("sim", F.round(_pair_cosine_udf()(F.col("qvec"), F.col("nvec")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
