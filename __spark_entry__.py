@@ -249,7 +249,11 @@ def q_candidates(spark, sf_dir):
 
 
 def q_disambiguate(spark, sf_dir):
-    return _linked(spark, sf_dir).select("doc_id", "start", "text", "dbpedia_uri")
+    # narrow contract: the projection needs no type payload, so skip the
+    # post-top-1 types join entirely (same rows, provably)
+    return _linked_slim(spark, sf_dir).select(
+        "doc_id", "start", "text", "dbpedia_uri"
+    )
 
 
 def q_type_filter(spark, sf_dir):

@@ -116,12 +116,16 @@ def run_pipeline(
     else:
         automaton_src = write_lexicon_artifact(lexicon, artifact)
 
-    # cache=True: docs feed both the segment->spot path and the
-    # doc-token context join — without it the extract UDF runs twice.
+    # No cache on the extract stage: since the doc-token carry moved to
+    # the segment stage (doc_tokens ride the segment rows), the extracted
+    # docs have exactly ONE consumer — the segment UDF — so persisting
+    # them only paid an InMemoryRelation write+read per action. The raw
+    # html is dropped right after extraction: nothing downstream reads it.
     docs = runner.run(
         "extract",
-        lambda: extract_text(documents) if cfg.use_html else documents,
-        cache=True,
+        lambda: (
+            extract_text(documents).drop("html") if cfg.use_html else documents
+        ),
     )
 
     # doc_tokens ride along from here (narrow carry): the disambiguation
