@@ -16,15 +16,16 @@ through Python row objects. Two decode modes:
   arithmetic, so the DuckDB oracle re-derives every feature from the same
   formulas WITHOUT touching bytes: a green hash proves decode inverts
   encode (``media_features_real``). Real containers covered pure-python:
-  PCM16 WAV, 24bpp BMP, P6 PPM, PNG (stdlib zlib inflate + all five
-  scanline filters, gray/RGB/palette/RGBA at depth 8, null + Adam7
-  interlace), baseline JPEG (``kgspark.jpegcodec`` — T.81 sequential
-  DCT, the file's own Huffman/quant tables, 4:4:4/4:2:2/4:2:0/gray,
-  restart markers, and progressive SOF2 with spectral selection +
-  successive approximation), and GIF87a/89a (``kgspark.gifcodec`` —
-  LZW, interlace, palettes). Formats genuinely needing ffmpeg/PIL
-  (mp4/mp3/webp, 16-bit PNG) still raise NotImplementedError at the
-  codec seam.
+  WAV (PCM 8/16/24/32 + IEEE float + EXTENSIBLE), 24bpp BMP, P6 PPM,
+  PNG (stdlib zlib inflate + all five scanline filters, every legal bit
+  depth 1/2/4/8/16, gray/RGB/palette/RGBA, null + Adam7 interlace),
+  baseline JPEG (``kgspark.jpegcodec`` — T.81 sequential DCT, the
+  file's own Huffman/quant tables, 4:4:4/4:2:2/4:2:0/gray, restart
+  markers, and progressive SOF2 with spectral selection + successive
+  approximation), GIF87a/89a (``kgspark.gifcodec`` — LZW, interlace,
+  palettes), and AVI/MJPEG video (``kgspark.avicodec``). The remaining
+  seams — formats genuinely needing ffmpeg-class entropy coders
+  (mp4/mp3/webp) — still raise NotImplementedError.
 """
 
 from __future__ import annotations
