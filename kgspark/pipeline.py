@@ -154,14 +154,11 @@ def run_pipeline(
         ),
     )
 
-    # cache=True: the overlap family's hit/miss split consumes `linked`
-    # twice, and Catalyst's per-branch column pruning specializes the two
-    # subtrees so ReuseExchange cannot dedupe them — without the cache the
-    # whole extract->segment->spot->link chain (both python UDF stages)
-    # executes TWICE per action (measured: overlap prefix cost 12.7s vs
-    # 5.4s link + 2.9s window family at 1k docs). Same rationale as the
-    # docs cache above; with a checkpoint_root the parquet materialization
-    # cuts the lineage instead.
+    # No cache here either: the overlap family is a single-pass chain now
+    # (no hit/miss split — see kgspark.overlaps), so `linked` has exactly
+    # one consumer and persisting it only paid an InMemoryRelation
+    # write+read per action. With a checkpoint_root the parquet
+    # materialization still cuts the lineage per stage.
     linked = runner.run(
         "link",
         lambda: disambig.link_mentions(
@@ -182,7 +179,6 @@ def run_pipeline(
             # the filter, so the narrow contract only applies without it.
             attach_type_cols=bool(cfg.types),
         ),
-        cache=True,
     )
 
     def _resolve():
