@@ -233,14 +233,14 @@ def run_pipeline(
 
 
 def release_pipeline_caches(out: dict) -> None:
-    """Unpersist the caches ``run_pipeline`` creates (documents, mentions).
+    """Unpersist any caches a ``run_pipeline`` invocation left behind.
 
-    Spark's CacheManager substitutes a cached InMemoryRelation for ANY
-    newly built plan that canonically matches it, so a benchmark that
-    calls ``run_pipeline`` repeatedly would silently serve passes 2+ from
-    the previous pass's cache and measure a cache read instead of the
-    pipeline. Harnesses call this between passes; a production job runs
-    one action per plan and simply lets the session end."""
+    Round 6 removed the pipeline's own persists (every stage is
+    single-consumer now), so this is normally a no-op — it stays because
+    the bench harness calls it between passes, and because Spark's
+    CacheManager substitutes a cached InMemoryRelation for ANY plan that
+    canonically matches one: if a caller persisted these frames
+    themselves, dropping them here keeps repeated passes honest."""
     for key in ("documents", "mentions"):
         df = out.get(key)
         if df is not None:
