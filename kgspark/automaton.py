@@ -6,10 +6,12 @@ Spotlight's spotter is a lexicon FSA (Mendes et al. 2011 §4.1); we build the
 same thing: a broadcast automaton over the ``surface_form`` column of the
 lexicon, applied inside a vectorized pandas UDF (see ``kgspark.spot``).
 
-Pure-Python implementation (flat lists, BFS failure links) so the object
-pickles cheaply into a Spark broadcast. On a real cluster, swap in the C
-extension ``pyahocorasick`` when available — ``build_automaton`` gates on the
-import and both implementations expose the same ``iter_matches`` contract.
+Three implementations share the ``iter_matches`` contract:
+``FlatMatcher`` (the default — vectorized numpy per-length substring
+probes, compact byte tables that pickle/mmap cheaply, no per-character
+Python loop), the classic pure-Python ``AhoCorasick`` (the portable
+correctness reference the matcher is fuzz-tested against), and the
+optional ``pyahocorasick`` C adapter behind an import gate.
 Matches are emitted for *every* dictionary occurrence (including nested and
 overlapping ones); overlap resolution is a downstream, relational concern
 (``kgspark.overlaps``).

@@ -3,7 +3,7 @@
 documents(url, warc_ts, html, text, lang)
   -> extract (html -> text, byte-identical invariant)
   -> segment (overlap windows + precomputed stitch bounds; skew breaking)
-  -> spot (broadcast Aho-Corasick, pandas UDF)
+  -> spot (vectorized flat matcher, batch pandas UDF)
   -> stitch (pure filter)
   -> link (candidates x broadcast lexicon; prior + context scoring; top-1)
   -> overlaps (detect/categorize/resolve — doc-local windows)

@@ -2,9 +2,11 @@
 
 Native replacement for Spotlight's lexicon spotter (the mention-detection
 half of the black box the reference calls over HTTP,
-``R/dbpedia.R:471-485``; algorithm per Mendes et al. 2011 §4.1): a broadcast
-Aho-Corasick automaton over the lexicon's surface forms, applied in an
-Arrow-batched pandas UDF. Emits *all* word-bounded occurrences (nested and
+``R/dbpedia.R:471-485``; algorithm per Mendes et al. 2011 §4.1): a
+multi-pattern matcher over the lexicon's surface forms (the vectorized
+``FlatMatcher`` by default — numpy per-length substring probes, whole
+Arrow batch per call; the classic Aho-Corasick remains the reference
+implementation), applied in an Arrow-batched pandas UDF. Emits *all* word-bounded occurrences (nested and
 overlapping included) — overlap resolution is downstream and relational.
 
 Offsets: the reference emits 1-based character starts (Spotlight's 0-based
